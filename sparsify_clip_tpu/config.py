@@ -1,0 +1,188 @@
+"""Experiment configuration: dataclass schema + YAML loader.
+
+The reference threads a flat ``dict`` loaded with ``yaml.safe_load``
+through every function (reference: sparsify_clip.py:1135-1156) with two
+CLI-side fixups (``device_id`` injection and ``learning_rate`` string →
+float coercion, sparsify_clip.py:1139-1141).  This module gives that
+schema a typed home while parsing all 13 shipped reference YAMLs
+unchanged.
+
+Schema source of truth: the key table in SURVEY.md §2.9 (every key the
+reference's live code consumes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional, Union
+
+import yaml
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Typed view of a reference experiment YAML.
+
+    Field names and defaults mirror the reference config keys
+    (sparsify_clip.py:1135-1156 and the per-key consumption sites listed
+    in SURVEY.md §2.9).  Extra keys found in a YAML are preserved in
+    ``extra`` so forward-compatible configs round-trip.
+    """
+
+    # Identifiers
+    project_name: str = "Sparsify_experiments"
+    run_name: str = "experiment"
+
+    # "Never change" parameters (reference wording)
+    seed: int = 42
+    learning_rate: float = 1e-4
+    batch_size: int = 256
+    model: str = "RN50"
+    num_train_samples: int = -1
+    num_test_samples: int = 512
+    epochs: int = 100
+
+    # Experiment-specific parameters
+    loss_type: str = "anchor"
+    only_lunif_epochs: int = 0
+    anchor_temperature: float = 0.1
+    anchor_temperature_learnable: bool = False
+
+    # Evaluation and checkpointing
+    save_checkpoint_every_n_epochs: int = 20
+    resume_checkpoint: Union[bool, str] = False
+    resume_epoch: int = 0
+
+    # Mixed precision.  On TPU "fp16: True" selects bfloat16 compute
+    # (no GradScaler needed — bf16 has fp32 exponent range), keeping an
+    # fp32 path for numerics checks.  Reference: sparsify_clip.py:731,765.
+    fp16: bool = True
+
+    # β / α loss-weight schedules (experiments 7-10).
+    # Reference: sparsify_clip.py:825-827, 866-873.
+    beta_warmup_epoch: int = 20
+    beta_decay_epoch: int = 50
+    alpha_warmup_epoch: int = 50
+    alpha_increment_epoch: int = 50
+
+    # Injected by the CLI in the reference (sparsify_clip.py:1139).
+    # Here it selects the lead device / process index.
+    device_id: int = 0
+
+    # --- TPU-native extensions (absent from reference YAMLs; defaults
+    # reproduce reference behaviour on one chip) ---
+    # Mesh shape: data-parallel size -1 = all devices; model (tensor)
+    # parallel size 1 = off.
+    mesh_data: int = -1
+    mesh_model: int = 1
+    # Where COCO lives (reference hardcodes ./data/coco, sparsify_clip.py:995-1000).
+    data_root: str = "./data/coco"
+    # "synthetic" swaps COCO for an on-device generated dataset so the
+    # full pipeline runs hermetically (no reference equivalent).
+    dataset: str = "coco"
+    # Use Pallas fused kernels for the loss block (XLA fallback if False).
+    use_pallas: bool = True
+    # Optional path to the real CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz).
+    bpe_vocab_path: Optional[str] = None
+    # Logging backend: "jsonl" (always available) and/or "wandb" when installed.
+    log_backend: str = "auto"
+    log_dir: str = "./logs"
+    checkpoint_dir: str = "./models"
+    # Skip t-SNE/UMAP/PCA embedding plots (reference always plots,
+    # sparsify_clip.py:599-620; host-side only).
+    plot_embeddings: bool = False
+    # Steps per eval; -1 reproduces reference per-epoch cadence.
+    eval_every_n_steps: int = -1
+
+    # Unrecognized YAML keys, preserved verbatim.
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def field_names(cls) -> List[str]:
+        return [f.name for f in dataclasses.fields(cls) if f.name != "extra"]
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "ExperimentConfig":
+        """Build from a flat dict (as yaml.safe_load returns).
+
+        Applies the reference CLI fixup of coercing ``learning_rate`` to
+        float (YAML ``1e-4`` parses as a string; sparsify_clip.py:1141).
+        """
+        if raw is None:
+            raise ValueError(
+                "Empty config (the reference's all_experiments.yaml is an "
+                "empty TODO and would crash the reference too; "
+                "sparsify_clip.py:1150 with config=None)"
+            )
+        known = set(cls.field_names())
+        kwargs: Dict[str, Any] = {}
+        extra: Dict[str, Any] = {}
+        for key, value in raw.items():
+            if key in known:
+                kwargs[key] = value
+            else:
+                extra[key] = value
+        if "learning_rate" in kwargs:
+            kwargs["learning_rate"] = float(kwargs["learning_rate"])
+        cfg = cls(**kwargs, extra=extra)
+        cfg.validate()
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d.update(d.pop("extra"))
+        return d
+
+    def validate(self) -> None:
+        if self.batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {self.batch_size}")
+        if self.epochs <= 0:
+            raise ValueError(f"epochs must be positive, got {self.epochs}")
+        if self.only_lunif_epochs < 0:
+            raise ValueError(
+                f"only_lunif_epochs must be >= 0, got {self.only_lunif_epochs}"
+            )
+        if not isinstance(self.learning_rate, float):
+            raise ValueError("learning_rate must be a float after coercion")
+
+    # Convenience ------------------------------------------------------
+    @property
+    def resume_requested(self) -> bool:
+        return bool(self.resume_checkpoint)
+
+
+def load_config(path: str, device_id: int = 0) -> ExperimentConfig:
+    """Load a single YAML config file.
+
+    Mirrors the reference CLI file branch (sparsify_clip.py:1135-1143):
+    safe_load, inject device_id, coerce learning_rate.
+    """
+    with open(path, "r") as fh:
+        raw = yaml.safe_load(fh)
+    if raw is None:
+        raise ValueError(f"Config file {path} is empty")
+    raw["device_id"] = device_id
+    return ExperimentConfig.from_dict(raw)
+
+
+def load_config_dir(path: str, device_id: int = 0) -> List[ExperimentConfig]:
+    """Load every ``*.yaml`` in a directory (reference sweep mode,
+    sparsify_clip.py:1146-1156).  Empty YAMLs (like the reference's
+    ``all_experiments.yaml`` TODO) are skipped with a warning instead of
+    crashing mid-sweep.
+    """
+    configs: List[ExperimentConfig] = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".yaml"):
+            continue
+        full = os.path.join(path, name)
+        with open(full, "r") as fh:
+            raw = yaml.safe_load(fh)
+        if raw is None:
+            print(f"[config] skipping empty config {full}")
+            continue
+        raw["device_id"] = device_id
+        configs.append(ExperimentConfig.from_dict(raw))
+    return configs
