@@ -1,0 +1,163 @@
+"""Two-tower CLIP model + the model-name registry.
+
+Capability equivalent of ``open_clip.create_model_and_transforms(name,
+pretrained=None)`` as used by the reference (sparsify_clip.py:685-689):
+a fresh randomly-initialized two-tower model exposing
+``encode_image`` / ``encode_text``.  The learnable temperature is NOT a
+model parameter — the reference keeps it as a separate raw parameter
+appended to the optimizer (sparsify_clip.py:716-730), and the train
+state mirrors that.
+
+Registry names cover the reference's config surface (``RN50`` in every
+shipped YAML) plus the north-star ``ViT-B-32`` and the common CLIP
+family siblings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sparsify_clip_tpu.models.layers import quick_gelu
+from sparsify_clip_tpu.models.resnet import ModifiedResNet
+from sparsify_clip_tpu.models.text import TextTransformer
+from sparsify_clip_tpu.models.vit import VisionTransformer
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    name: str
+    embed_dim: int
+    # vision tower
+    vision_kind: str  # "resnet" | "vit"
+    image_size: int = 224
+    vision_width: int = 64        # resnet: stem width; vit: transformer width
+    vision_layers: Tuple[int, ...] = (3, 4, 6, 3)  # resnet stages or (depth,) for vit
+    vision_heads: int = 32        # resnet: attnpool heads; vit: attention heads
+    patch_size: int = 32          # vit only
+    # text tower
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+    quick_gelu: bool = False
+
+
+MODEL_REGISTRY: Dict[str, CLIPConfig] = {
+    "RN50": CLIPConfig(
+        name="RN50", embed_dim=1024, vision_kind="resnet",
+        vision_width=64, vision_layers=(3, 4, 6, 3), vision_heads=32,
+    ),
+    "RN101": CLIPConfig(
+        name="RN101", embed_dim=512, vision_kind="resnet",
+        vision_width=64, vision_layers=(3, 4, 23, 3), vision_heads=32,
+    ),
+    "ViT-B-32": CLIPConfig(
+        name="ViT-B-32", embed_dim=512, vision_kind="vit",
+        vision_width=768, vision_layers=(12,), vision_heads=12, patch_size=32,
+    ),
+    "ViT-B-16": CLIPConfig(
+        name="ViT-B-16", embed_dim=512, vision_kind="vit",
+        vision_width=768, vision_layers=(12,), vision_heads=12, patch_size=16,
+    ),
+    "ViT-L-14": CLIPConfig(
+        name="ViT-L-14", embed_dim=768, vision_kind="vit",
+        vision_width=1024, vision_layers=(24,), vision_heads=16, patch_size=14,
+        text_width=768, text_heads=12, text_layers=12,
+    ),
+}
+# OpenAI-parameterized (QuickGELU) variants, mirroring open_clip's
+# "<name>-quickgelu" registry convention.
+for _base in ["RN50", "ViT-B-32", "ViT-B-16"]:
+    _cfg = MODEL_REGISTRY[_base]
+    MODEL_REGISTRY[f"{_base}-quickgelu"] = dataclasses.replace(
+        _cfg, name=f"{_base}-quickgelu", quick_gelu=True
+    )
+
+
+class CLIP(nn.Module):
+    """Two-tower CLIP.  Returns **unnormalized** embeddings — callers
+    L2-normalize, matching the reference train/eval loops
+    (sparsify_clip.py:772-773,624-625)."""
+
+    cfg: CLIPConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        act = quick_gelu if self.cfg.quick_gelu else nn.gelu
+        if self.cfg.vision_kind == "resnet":
+            self.visual = ModifiedResNet(
+                layers=tuple(self.cfg.vision_layers),
+                width=self.cfg.vision_width,
+                image_size=self.cfg.image_size,
+                embed_dim=self.cfg.embed_dim,
+                heads=self.cfg.vision_heads,
+                dtype=self.dtype,
+            )
+        elif self.cfg.vision_kind == "vit":
+            self.visual = VisionTransformer(
+                image_size=self.cfg.image_size,
+                patch_size=self.cfg.patch_size,
+                width=self.cfg.vision_width,
+                layers=self.cfg.vision_layers[0],
+                heads=self.cfg.vision_heads,
+                embed_dim=self.cfg.embed_dim,
+                dtype=self.dtype,
+                act=act,
+            )
+        else:
+            raise ValueError(f"Unknown vision_kind {self.cfg.vision_kind}")
+        self.text = TextTransformer(
+            vocab_size=self.cfg.vocab_size,
+            context_length=self.cfg.context_length,
+            width=self.cfg.text_width,
+            heads=self.cfg.text_heads,
+            layers=self.cfg.text_layers,
+            embed_dim=self.cfg.embed_dim,
+            dtype=self.dtype,
+            act=act,
+        )
+
+    def encode_image(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.cfg.vision_kind == "resnet":
+            return self.visual(images, train=train)
+        return self.visual(images)
+
+    def encode_text(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.text(tokens)
+
+    def __call__(
+        self, images: jnp.ndarray, tokens: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.encode_image(images, train=train), self.encode_text(tokens)
+
+
+def create_model(
+    name: str,
+    dtype: Any = jnp.float32,
+    rng: Optional[jax.Array] = None,
+    image_size: Optional[int] = None,
+):
+    """Build a CLIP model + freshly-initialized variables.
+
+    Returns ``(model, variables)`` where ``variables`` holds ``params``
+    (fp32) and, for ResNet towers, ``batch_stats``.  Equivalent surface
+    to the reference's from-scratch model build (sparsify_clip.py:685-699).
+    """
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"Unknown model {name!r}. Known: {sorted(MODEL_REGISTRY)}")
+    cfg = MODEL_REGISTRY[name]
+    if image_size is not None:
+        cfg = dataclasses.replace(cfg, image_size=image_size)
+    model = CLIP(cfg=cfg, dtype=dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    dummy_images = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    dummy_tokens = jnp.zeros((2, cfg.context_length), jnp.int32)
+    variables = model.init(rng, dummy_images, dummy_tokens, train=False)
+    return model, variables

@@ -1,0 +1,183 @@
+"""Shared transformer building blocks (flax linen).
+
+TPU-first conventions used throughout the model zoo:
+
+* params live in fp32; matmul-heavy compute runs in a configurable
+  ``dtype`` (bf16 for the reference's "fp16: True" path — the MXU's
+  native input type);
+* LayerNorm and attention softmax always compute in fp32 (bf16
+  accumulation there visibly degrades CLIP training);
+* attention is plain einsum — at CLIP sequence lengths (77 text
+  tokens, 50-257 patches) XLA's fused attention is already optimal and
+  a custom kernel would only add surface area;
+* weights are stored in (in, out) layout via ``nn.Dense`` so tensor
+  parallelism is a pure sharding annotation (see
+  :mod:`sparsify_clip_tpu.parallel.mesh`).
+
+Functional equivalent of the reference's external open_clip towers
+(consumed at sparsify_clip.py:685-689).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32 regardless of input dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        out = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32)
+        )
+        return out.astype(orig_dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """x * sigmoid(1.702 x) — OpenAI CLIP's activation; open_clip's
+    plain "RN50"/"ViT-B-32" configs (the ones the reference
+    instantiates) use exact tanh-GELU instead, so this is only wired up
+    for the ``*-quickgelu`` registry names."""
+    return x * nn.sigmoid(1.702 * x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with a fused qkv projection (CLIP's in_proj layout).
+
+    ``mask`` is an additive fp32 (L, L) bias (e.g. causal −inf upper
+    triangle for the text tower).
+    """
+
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, l, w = x.shape
+        head_dim = self.width // self.heads
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(
+            3 * self.width,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(self.width ** -0.5),
+            name="in_proj",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_of(t):
+            return t.reshape(b, l, self.heads, head_dim)
+
+        q, k, v = heads_of(q), heads_of(k), heads_of(v)
+        # fp32 logits + softmax for stability in bf16 runs.
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            scores = scores + mask.astype(jnp.float32)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, l, self.width)
+        return nn.Dense(
+            self.width,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(self.width ** -0.5),
+            name="out_proj",
+        )(out)
+
+
+class MLP(nn.Module):
+    width: int
+    expansion: int = 4
+    dtype: Dtype = jnp.float32
+    act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = nn.Dense(
+            self.width * self.expansion,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal((2 * self.width) ** -0.5),
+            name="c_fc",
+        )(x)
+        hidden = self.act(hidden)
+        return nn.Dense(
+            self.width,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(self.width ** -0.5),
+            name="c_proj",
+        )(hidden)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block: x += attn(ln(x)); x += mlp(ln(x))."""
+
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+    act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        x = x + MultiHeadAttention(
+            self.width, self.heads, dtype=self.dtype, name="attn"
+        )(LayerNorm(name="ln_1")(x), mask)
+        x = x + MLP(self.width, dtype=self.dtype, act=self.act, name="mlp")(
+            LayerNorm(name="ln_2")(x)
+        )
+        return x
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    dtype: Dtype = jnp.float32
+    act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # Unrolled python loop: 12 blocks trace fast and XLA pipelines
+        # them; lax.scan-over-layers only pays off at far greater depth.
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, dtype=self.dtype, act=self.act,
+                name=f"resblock_{i}",
+            )(x, mask)
+        return x
+
+
+def causal_mask(length: int) -> jnp.ndarray:
+    """Additive (L, L) causal mask: 0 on/below diagonal, −inf above
+    (the text tower's autoregressive mask, matching CLIP)."""
+    mask = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
+    return jnp.triu(mask, k=1)
+
+
+def sinusoidal_or_learned_pos(rng_std: float) -> Callable:
+    return nn.initializers.normal(rng_std)
+
+
+def normal_init(std: float) -> Callable:
+    return nn.initializers.normal(std)
+
+
+def patch_count(image_size: int, patch_size: int) -> int:
+    assert image_size % patch_size == 0
+    return (image_size // patch_size) ** 2
+
+
+def np_causal_mask(length: int) -> np.ndarray:
+    m = np.zeros((length, length), np.float32)
+    m[np.triu_indices(length, 1)] = -np.inf
+    return m

@@ -1,0 +1,70 @@
+"""CLIP text tower: token embedding + causal transformer + EOT pooling.
+
+Capability equivalent of open_clip's text transformer as instantiated
+by the reference (sparsify_clip.py:685-692): vocab 49408, context 77,
+width 512, 8 heads, 12 layers for both the RN50 and ViT-B/32 configs;
+the pooled feature is the ln_final output at the EOT position (the
+argmax of token ids — EOT is the largest id), projected to the joint
+embedding dim.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sparsify_clip_tpu.models.layers import (
+    LayerNorm,
+    Transformer,
+    causal_mask,
+)
+
+
+class TextTransformer(nn.Module):
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    embed_dim: int = 512
+    dtype: Any = jnp.float32
+    act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens: (B, context_length) int32 → (B, embed_dim) unnormalized."""
+        b, l = tokens.shape
+        token_embedding = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (self.vocab_size, self.width),
+            jnp.float32,
+        )
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+            jnp.float32,
+        )
+        x = token_embedding[tokens].astype(self.dtype)
+        x = x + positional_embedding[:l].astype(self.dtype)
+        x = Transformer(
+            self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
+            name="transformer",
+        )(x, causal_mask(l))
+        x = LayerNorm(name="ln_final")(x)
+
+        # Pool at the EOT token: argmax works because EOT is the highest
+        # token id the tokenizer ever emits.
+        eot_idx = jnp.argmax(tokens, axis=-1)
+        pooled = x[jnp.arange(b), eot_idx]
+
+        text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(self.width ** -0.5),
+            (self.width, self.embed_dim),
+            jnp.float32,
+        )
+        return jnp.dot(pooled, text_projection.astype(self.dtype)).astype(jnp.float32)

@@ -1,0 +1,74 @@
+"""Vision Transformer tower (ViT-B/32 family).
+
+Capability equivalent of open_clip's VisionTransformer (the north-star
+``model: "ViT-B-32"`` configuration; reachable in the reference by
+changing the ``model`` key consumed at sparsify_clip.py:686).
+
+Layout is NHWC (TPU-native); the patchify conv is a single strided
+convolution that XLA lowers onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sparsify_clip_tpu.models.layers import LayerNorm, Transformer
+
+
+class VisionTransformer(nn.Module):
+    image_size: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    embed_dim: int = 512
+    dtype: Any = jnp.float32
+    act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: (B, H, W, 3) float → (B, embed_dim) unnormalized."""
+        b = images.shape[0]
+        grid = self.image_size // self.patch_size
+        scale = self.width ** -0.5
+
+        x = nn.Conv(
+            self.width,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(images.astype(self.dtype))
+        x = x.reshape(b, grid * grid, self.width)
+
+        class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale), (self.width,), jnp.float32
+        )
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            (grid * grid + 1, self.width),
+            jnp.float32,
+        )
+        cls = jnp.broadcast_to(
+            class_embedding.astype(self.dtype), (b, 1, self.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + positional_embedding.astype(self.dtype)
+
+        x = LayerNorm(name="ln_pre")(x)
+        x = Transformer(
+            self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
+            name="transformer",
+        )(x)
+        x = LayerNorm(name="ln_post")(x[:, 0, :])
+
+        proj = self.param(
+            "proj", nn.initializers.normal(scale), (self.width, self.embed_dim), jnp.float32
+        )
+        return jnp.dot(x, proj.astype(self.dtype)).astype(jnp.float32)

@@ -1,0 +1,144 @@
+"""Model zoo: shapes, dtype policy, EOT pooling, BN mutation, registry."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsify_clip_tpu.models import CLIP, CLIPConfig, MODEL_REGISTRY, create_model
+
+TINY_VIT = CLIPConfig(
+    name="tiny-vit", embed_dim=16, vision_kind="vit", image_size=32,
+    vision_width=24, vision_layers=(2,), vision_heads=2, patch_size=16,
+    vocab_size=512, context_length=16, text_width=16, text_heads=2, text_layers=2,
+)
+TINY_RN = CLIPConfig(
+    name="tiny-rn", embed_dim=16, vision_kind="resnet", image_size=32,
+    vision_width=8, vision_layers=(1, 1, 1, 1), vision_heads=4,
+    vocab_size=512, context_length=16, text_width=16, text_heads=2, text_layers=2,
+)
+
+
+def _init(cfg, dtype=jnp.float32, batch=2):
+    model = CLIP(cfg=cfg, dtype=dtype)
+    images = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, cfg.image_size, cfg.image_size, 3)),
+        jnp.float32,
+    )
+    tokens = np.zeros((batch, cfg.context_length), np.int32)
+    tokens[:, 0] = cfg.vocab_size - 2
+    tokens[0, 1:4] = [5, 9, cfg.vocab_size - 1]
+    tokens[1, 1:3] = [7, cfg.vocab_size - 1]
+    tokens = jnp.asarray(tokens)
+    variables = model.init(jax.random.PRNGKey(0), images, tokens, train=False)
+    return model, variables, images, tokens
+
+
+@pytest.mark.parametrize("cfg", [TINY_VIT, TINY_RN], ids=["vit", "resnet"])
+def test_forward_shapes(cfg):
+    model, variables, images, tokens = _init(cfg)
+    img_emb, txt_emb = model.apply(variables, images, tokens, train=False)
+    assert img_emb.shape == (2, cfg.embed_dim)
+    assert txt_emb.shape == (2, cfg.embed_dim)
+    assert np.isfinite(np.asarray(img_emb)).all()
+    assert np.isfinite(np.asarray(txt_emb)).all()
+    # embeddings leave the tower in fp32
+    assert img_emb.dtype == jnp.float32
+    assert txt_emb.dtype == jnp.float32
+
+
+def test_encode_methods_match_call():
+    model, variables, images, tokens = _init(TINY_VIT)
+    img_emb, txt_emb = model.apply(variables, images, tokens, train=False)
+    img2 = model.apply(variables, images, method=model.encode_image)
+    txt2 = model.apply(variables, tokens, method=model.encode_text)
+    np.testing.assert_allclose(np.asarray(img_emb), np.asarray(img2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(txt_emb), np.asarray(txt2), rtol=1e-6)
+
+
+def test_eot_pooling_ignores_post_eot_tokens():
+    model, variables, _, tokens = _init(TINY_VIT)
+    base = model.apply(variables, tokens, method=model.encode_text)
+    # mutate a padding position AFTER the EOT token — must not change
+    # the pooled embedding (causal mask + argmax pooling)
+    toks = np.asarray(tokens).copy()
+    toks[0, 10] = 3
+    changed = model.apply(variables, jnp.asarray(toks), method=model.encode_text)
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(changed[0]), atol=1e-6)
+
+
+def test_pre_eot_tokens_do_matter():
+    model, variables, _, tokens = _init(TINY_VIT)
+    base = model.apply(variables, tokens, method=model.encode_text)
+    toks = np.asarray(tokens).copy()
+    toks[0, 1] = 11  # before EOT
+    changed = model.apply(variables, jnp.asarray(toks), method=model.encode_text)
+    assert np.abs(np.asarray(base[0]) - np.asarray(changed[0])).max() > 1e-6
+
+
+def test_bf16_compute_fp32_params():
+    model, variables, images, tokens = _init(TINY_VIT, dtype=jnp.bfloat16)
+    img_emb, txt_emb = model.apply(variables, images, tokens, train=False)
+    assert img_emb.dtype == jnp.float32  # towers upcast on exit
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert np.isfinite(np.asarray(img_emb)).all()
+
+
+def test_resnet_batch_stats_update():
+    model, variables, images, tokens = _init(TINY_RN)
+    assert "batch_stats" in variables
+    (img_emb, _), new_state = model.apply(
+        variables, images, tokens, train=True, mutable=["batch_stats"]
+    )
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(old, new))
+
+
+def test_vit_has_no_batch_stats():
+    _, variables, _, _ = _init(TINY_VIT)
+    assert "batch_stats" not in variables
+
+
+def test_registry_contains_reference_surface():
+    assert "RN50" in MODEL_REGISTRY  # every reference YAML
+    assert "ViT-B-32" in MODEL_REGISTRY  # north-star config
+    assert MODEL_REGISTRY["RN50"].embed_dim == 1024
+    assert MODEL_REGISTRY["ViT-B-32"].embed_dim == 512
+    assert MODEL_REGISTRY["RN50"].vision_layers == (3, 4, 6, 3)
+
+
+@pytest.mark.parametrize("name,want_embed", [("RN50", 1024), ("ViT-B-32", 512)])
+def test_full_model_shapes_via_eval_shape(name, want_embed):
+    cfg = MODEL_REGISTRY[name]
+    model = CLIP(cfg=cfg, dtype=jnp.bfloat16)
+    images = jax.ShapeDtypeStruct((4, 224, 224, 3), jnp.float32)
+    tokens = jax.ShapeDtypeStruct((4, 77), jnp.int32)
+
+    variables_shape = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((4, 224, 224, 3)),
+                           jnp.zeros((4, 77), jnp.int32), train=False)
+    )
+    out_shape = jax.eval_shape(
+        lambda v: model.apply(v, jnp.zeros((4, 224, 224, 3)),
+                              jnp.zeros((4, 77), jnp.int32), train=False),
+        variables_shape,
+    )
+    assert out_shape[0].shape == (4, want_embed)
+    assert out_shape[1].shape == (4, want_embed)
+
+    n_params = sum(
+        int(np.prod(l.shape))
+        for l in jax.tree_util.tree_leaves(variables_shape["params"])
+    )
+    # CLIP RN50 ≈ 102M params; ViT-B/32 ≈ 151M (open_clip counts).
+    want = {"RN50": 102_000_000, "ViT-B-32": 151_300_000}[name]
+    assert abs(n_params - want) / want < 0.03, f"{name}: {n_params:,} params"
+
+
+def test_unknown_model_raises():
+    with pytest.raises(ValueError):
+        create_model("GPT-7")
