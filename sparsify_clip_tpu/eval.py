@@ -1,0 +1,169 @@
+"""Evaluation: retrieval + embedding-geometry metrics.
+
+Produces the reference's 13-metric dict with identical keys and
+rounding (sparsify_clip.py:534-676):
+``forward_r1/r5/r10/ravg`` (text→image), ``backward_r1/r5/r10/ravg``
+(image→text), ``gap``, ``mean_angular_value_image/text``,
+``uniformity``, ``mean_cosine_similarity_true_pairs``.
+
+The reference ranks by descending sort + Python ``list.index`` loops
+(sparsify_clip.py:372-414) — O(N²) host work.  Here ranks are computed
+on device as strictly-greater counts against the ground-truth score
+(identical result for distinct scores, which fp32 similarities of
+distinct embeddings are in practice), so the whole metric block is a
+couple of matmuls + reductions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparsify_clip_tpu.metrics.unif_w2 import eval_uniformity
+from sparsify_clip_tpu.utils.numerics import fp32_matmul, l2_normalize
+
+
+def retrieval_ranks(
+    similarity: jnp.ndarray, ids_img: jnp.ndarray, ids_txt: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ranks for both directions.
+
+    ``similarity`` is (N_text, N_image) (text rows — matching
+    sparsify_clip.py:628).  ``ids_*`` map rows/cols to sample ids;
+    duplicate text ids per image are supported the way the reference's
+    backward pass is (min rank over the image's captions,
+    sparsify_clip.py:394-401).
+    """
+    sim = similarity.astype(jnp.float32)
+    # Ground-truth mask: text i ↔ image j where ids match.
+    gt = ids_txt[:, None] == ids_img[None, :]
+
+    # forward (text→image): rank of the gt image within the row.
+    gt_score_f = jnp.where(gt, sim, -jnp.inf).max(axis=1)
+    rank_f = jnp.sum(sim > gt_score_f[:, None], axis=1)
+
+    # backward (image→text): per image, the reference takes the min
+    # rank over all of the image's captions — equivalently the rank of
+    # its best-scoring ground-truth caption.
+    gt_score_b = jnp.where(gt, sim, -jnp.inf).max(axis=0)
+    rank_b = jnp.sum(sim > gt_score_b[None, :], axis=0)
+    return rank_f, rank_b
+
+
+def _recall_block(rank: np.ndarray, prefix: str) -> Dict[str, float]:
+    n = rank.shape[0]
+    r1 = float((rank < 1).sum()) / n
+    r5 = float((rank < 5).sum()) / n
+    r10 = float((rank < 10).sum()) / n
+    return {
+        f"{prefix}_r1": round(r1 * 100, 4),
+        f"{prefix}_r5": round(r5 * 100, 4),
+        f"{prefix}_r10": round(r10 * 100, 4),
+        f"{prefix}_ravg": round((r1 + r5 + r10) / 3 * 100, 4),
+    }
+
+
+def compute_gap(feat1: jnp.ndarray, feat2: jnp.ndarray) -> jnp.ndarray:
+    """‖mean(f1) − mean(f2)‖₂ — the modality gap (sparsify_clip.py:418-436)."""
+    diff = jnp.mean(feat1.astype(jnp.float32), axis=0) - jnp.mean(
+        feat2.astype(jnp.float32), axis=0
+    )
+    return jnp.sqrt(jnp.sum(jnp.square(diff)))
+
+
+def mean_angular_value(feat: jnp.ndarray) -> jnp.ndarray:
+    """Mean off-diagonal cosine similarity within a modality
+    (sparsify_clip.py:438-457)."""
+    n = feat.shape[0]
+    cos = fp32_matmul(feat, feat.T)
+    off = jnp.sum(cos) - jnp.trace(cos)
+    return off / (n * (n - 1))
+
+
+def mean_true_pair_cosine(feat1: jnp.ndarray, feat2: jnp.ndarray) -> jnp.ndarray:
+    """Mean diagonal cosine of true pairs (sparsify_clip.py:508-528)."""
+    return jnp.mean(jnp.sum(feat1.astype(jnp.float32) * feat2.astype(jnp.float32), axis=1))
+
+
+@jax.jit
+def _metric_core(image_embeds: jnp.ndarray, text_embeds: jnp.ndarray):
+    """All device-side metrics in one compiled block.
+
+    Inputs are the **unnormalized** accumulated embeddings (the
+    reference normalizes after accumulation, sparsify_clip.py:624-625).
+    """
+    img = l2_normalize(image_embeds)
+    txt = l2_normalize(text_embeds)
+    n = img.shape[0]
+    ids = jnp.arange(n)
+    similarity = fp32_matmul(txt, img.T)  # (N_text, N_image)
+    rank_f, rank_b = retrieval_ranks(similarity, ids, ids)
+    return {
+        "rank_f": rank_f,
+        "rank_b": rank_b,
+        "gap": compute_gap(img, txt),
+        "mean_angular_value_image": mean_angular_value(img),
+        "mean_angular_value_text": mean_angular_value(txt),
+        "uniformity": eval_uniformity(img, txt),
+        "mean_cosine_similarity_true_pairs": mean_true_pair_cosine(img, txt),
+    }
+
+
+def compute_all_metrics(
+    image_embeds: jnp.ndarray, text_embeds: jnp.ndarray
+) -> Dict[str, float]:
+    """The reference's final_log dict (sparsify_clip.py:659-667)."""
+    core = _metric_core(image_embeds, text_embeds)
+    out: Dict[str, float] = {}
+    out.update(_recall_block(np.asarray(core["rank_f"]), "forward"))
+    out.update(_recall_block(np.asarray(core["rank_b"]), "backward"))
+    for key in (
+        "gap",
+        "mean_angular_value_image",
+        "mean_angular_value_text",
+        "uniformity",
+        "mean_cosine_similarity_true_pairs",
+    ):
+        out[key] = round(float(core[key]), 4)
+    return out
+
+
+def evaluate_model(
+    model,
+    variables,
+    batches: Iterable[Dict[str, np.ndarray]],
+    plot_embeddings: bool = False,
+    plot_fn: Optional[Callable] = None,
+) -> Dict[str, float]:
+    """Sweep the eval set, accumulate embeddings, compute the 13 metrics
+    (reference: evaluate_model, sparsify_clip.py:534-676).
+
+    ``batches`` yields dicts with ``images`` (B,H,W,3) and ``tokens``
+    (B,77).  Embeddings accumulate on device unnormalized, matching the
+    reference's CPU accumulation semantics.
+    """
+
+    @jax.jit
+    def encode(v, images, tokens):
+        img = model.apply(v, images, method=model.encode_image)
+        txt = model.apply(v, tokens, method=model.encode_text)
+        return img, txt
+
+    img_chunks: List[jnp.ndarray] = []
+    txt_chunks: List[jnp.ndarray] = []
+    for batch in batches:
+        img, txt = encode(
+            variables, jnp.asarray(batch["images"]), jnp.asarray(batch["tokens"])
+        )
+        img_chunks.append(img)
+        txt_chunks.append(txt)
+    all_img = jnp.concatenate(img_chunks, axis=0)
+    all_txt = jnp.concatenate(txt_chunks, axis=0)
+
+    if plot_embeddings and plot_fn is not None:
+        plot_fn(np.asarray(all_txt), np.asarray(all_img))
+
+    return compute_all_metrics(all_img, all_txt)

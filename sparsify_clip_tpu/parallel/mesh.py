@@ -1,0 +1,111 @@
+"""Device mesh + sharding rules.
+
+The reference's entire parallelism story is ``torch.nn.DataParallel``
+(sparsify_clip.py:703) — single-process multi-GPU replicate/scatter,
+which its own ``.module`` calls bypass anyway (SURVEY.md §2.4).  The
+TPU-native replacement is a ``jax.sharding.Mesh`` with two axes:
+
+* ``data`` — batch sharding (the axis that actually scales CLIP: the
+  global B×B loss couples every pair, so embeddings are all-gathered
+  over ICI while encoder FLOPs stay sharded);
+* ``model`` — optional Megatron-style tensor parallelism of the MLP /
+  attention projections, expressed purely as parameter sharding
+  annotations (XLA inserts the collectives).  Size 1 (off) reproduces
+  reference semantics; the axis exists so model scaling is a config
+  change, not a rewrite.
+
+Everything is global-view jit: code is written on full arrays,
+shardings are annotations, and XLA emits psum/all-gather on ICI.
+Explicit shard_map variants (for kernels that want manual collectives)
+live in :mod:`sparsify_clip_tpu.parallel.dist_losses`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh.
+
+    ``data=-1`` uses all remaining devices.  On a single chip this
+    yields a 1×1 mesh — the code path is identical from 1 to N chips.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model < 1:
+        raise ValueError(f"model axis must be >= 1, got {model}")
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel rules: param path regex → PartitionSpec.  Dense
+# kernels are (in, out).  Column-parallel (shard out dim): qkv + mlp up.
+# Row-parallel (shard in dim): attention out + mlp down.  Everything
+# else (embeddings, LN, small heads) replicated.
+_TP_RULES = [
+    (re.compile(r".*(in_proj|c_fc)/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*(out_proj|c_proj)/kernel$"), P(MODEL_AXIS, None)),
+]
+
+
+def _spec_for_path(path: str, model_parallel: bool) -> P:
+    if model_parallel:
+        for pattern, spec in _TP_RULES:
+            if pattern.match(path):
+                return spec
+    return P()
+
+
+def _path_str(key_path) -> str:
+    return "/".join(getattr(k, "key", getattr(k, "name", str(k))) for k in key_path)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Pytree of NamedShardings for a model param tree.
+
+    With mesh model-axis size 1 everything is replicated (pure DP).
+    With model > 1 the transformer matmul weights shard Megatron-style.
+    The path rules also match the optimizer-moment copies of the same
+    kernels (mu/nu mirror the param tree), so this works on any pytree
+    that embeds param-shaped leaves — e.g. a whole TrainState.
+    """
+    model_parallel = mesh.shape[MODEL_AXIS] > 1
+
+    def assign(key_path, leaf):
+        return NamedSharding(mesh, _spec_for_path(_path_str(key_path), model_parallel))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch onto the mesh, sharded along the data axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

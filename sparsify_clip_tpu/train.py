@@ -1,0 +1,294 @@
+"""Training: TrainState, jit'ed train step, and the epoch loop.
+
+TPU-native counterpart of the reference's ``train_model``
+(sparsify_clip.py:682-986):
+
+* one **functional, donated, jit'ed step** instead of an eager loop
+  body — encoders in bf16 ("fp16: True"), loss block in fp32, AdamW
+  (wd 0.01 on every parameter, matching torch defaults at
+  sparsify_clip.py:730), cosine LR with warmup + sparsify hold;
+* the learnable temperature is the **raw divisor** appended to the
+  trainable tree (sparsify_clip.py:716-730) — not a logit scale;
+* the warm ("sparsification") phase switch is a traced ``lax.cond``;
+  β/α are computed in-graph at the 1-based batch index
+  (sparsify_clip.py:755,827);
+* no GradScaler: bf16 has fp32 exponent range, so the reference's AMP
+  scaffolding (sparsify_clip.py:731,960-963) has no TPU equivalent to
+  carry over;
+* batches are sharded over the mesh data axis; the global B×B loss
+  sees all-gathered embeddings via XLA's partitioner (the mesh work
+  lives in :mod:`sparsify_clip_tpu.parallel.mesh`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from sparsify_clip_tpu.config import ExperimentConfig
+from sparsify_clip_tpu.losses import LossContext, make_loss_fn
+from sparsify_clip_tpu.models import CLIP, MODEL_REGISTRY, create_model
+from sparsify_clip_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    param_shardings,
+    shard_batch,
+)
+from sparsify_clip_tpu.schedules import get_alpha_jax, get_beta_jax, make_lr_schedule
+from sparsify_clip_tpu.utils.numerics import l2_normalize
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray                 # 0-based optimizer step count
+    params: Any                       # model params (fp32)
+    batch_stats: Any                  # BN stats ({} for ViT towers)
+    temperature: jnp.ndarray          # raw scalar (trainable iff configured)
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class TrainSetup:
+    """Everything assembled for a run: model, state, step fn, mesh."""
+
+    config: ExperimentConfig
+    model: CLIP
+    state: TrainState
+    train_step: Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict]]
+    mesh: Any
+    steps_per_epoch: int
+    total_steps: int
+    lr_schedule: Callable
+
+
+def _trainables(state: TrainState, learnable_temp: bool):
+    tree = {"model": state.params}
+    if learnable_temp:
+        tree["temperature"] = state.temperature
+    return tree
+
+
+def build_optimizer(config: ExperimentConfig, total_steps: int):
+    """AdamW exactly as the reference configures it: lr from the cosine
+    schedule, betas (0.9, 0.999), eps 1e-8, decoupled wd 0.01 applied to
+    ALL parameters (torch AdamW default; sparsify_clip.py:730)."""
+    num_warmup = int(0.20 * total_steps)  # sparsify_clip.py:735
+    schedule = make_lr_schedule(
+        base_lr=config.learning_rate,
+        num_warmup_steps=num_warmup,
+        num_training_steps=total_steps,
+        only_lunif_epochs=config.only_lunif_epochs,
+    )
+    return optax.adamw(
+        learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+    ), schedule
+
+
+def make_train_step(
+    model: CLIP,
+    config: ExperimentConfig,
+    optimizer: optax.GradientTransformation,
+    steps_per_epoch: int,
+    total_steps: int,
+    lr_schedule: Callable,
+    state_shards=None,
+    batch_shards=None,
+):
+    """Build the jit'ed train step for this experiment's loss_type.
+
+    When shardings are given they are pinned as both in- and
+    out-shardings so step N's output layout is exactly step N+1's input
+    layout — one compile, zero relayout copies.
+    """
+    loss_core = make_loss_fn(config.loss_type)
+    learnable_temp = config.anchor_temperature_learnable
+    has_bn = model.cfg.vision_kind == "resnet"
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        # Reference counts batches 1-based for β/α (sparsify_clip.py:755).
+        current_batch = state.step + 1
+        epoch = state.step // steps_per_epoch
+        warm = epoch < config.only_lunif_epochs
+        beta = get_beta_jax(
+            current_batch, total_steps, config.beta_warmup_epoch, config.beta_decay_epoch
+        )
+        alpha = get_alpha_jax(
+            current_batch, total_steps,
+            config.alpha_warmup_epoch, config.alpha_increment_epoch,
+        )
+
+        def loss_of(trainables):
+            variables = {"params": trainables["model"]}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                (img, txt), mutated = model.apply(
+                    variables, batch["images"], batch["tokens"],
+                    train=True, mutable=["batch_stats"],
+                )
+                new_bn = mutated["batch_stats"]
+            else:
+                img, txt = model.apply(
+                    variables, batch["images"], batch["tokens"], train=True
+                )
+                new_bn = state.batch_stats
+            img = l2_normalize(img)
+            txt = l2_normalize(txt)
+            temp = (
+                trainables["temperature"] if learnable_temp
+                else jnp.float32(config.anchor_temperature)
+            )
+            ctx = LossContext(temperature=temp, beta=beta, alpha=alpha, warm=warm)
+            loss, aux = loss_core(img, txt, ctx)
+            return loss, (aux, new_bn)
+
+        trainables = _trainables(state, learnable_temp)
+        (loss, (aux, new_bn)), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            trainables
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, trainables)
+        new_trainables = optax.apply_updates(trainables, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_trainables["model"],
+            batch_stats=new_bn,
+            temperature=(
+                new_trainables["temperature"] if learnable_temp else state.temperature
+            ),
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "train_loss": loss,
+            "learning_rate": lr_schedule(state.step),
+            "beta": beta if not learnable_temp else jnp.float32(0.0),
+            "alpha": alpha if not learnable_temp else jnp.float32(0.0),
+            "temperature": (
+                new_trainables["temperature"] if learnable_temp
+                else jnp.float32(config.anchor_temperature)
+            ),
+            **aux,
+        }
+        return new_state, metrics
+
+    if state_shards is not None:
+        return jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(state_shards, batch_shards),
+            out_shardings=(state_shards, None),
+        )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def create_train_setup(
+    config: ExperimentConfig,
+    steps_per_epoch: int,
+    mesh=None,
+    rng: Optional[jax.Array] = None,
+    image_size: Optional[int] = None,
+) -> TrainSetup:
+    """Assemble model, state and step function on a mesh.
+
+    ``steps_per_epoch`` comes from the data pipeline
+    (len(train_loader) in the reference, sparsify_clip.py:734).
+    """
+    if mesh is None:
+        mesh = create_mesh(data=config.mesh_data, model=config.mesh_model)
+    if rng is None:
+        rng = jax.random.PRNGKey(config.seed)
+    total_steps = steps_per_epoch * config.epochs
+
+    dtype = jnp.bfloat16 if config.fp16 else jnp.float32
+    init_rng, state_rng = jax.random.split(rng)
+    model, variables = create_model(
+        config.model, dtype=dtype, rng=init_rng, image_size=image_size
+    )
+
+    optimizer, schedule = build_optimizer(config, total_steps)
+    temperature = jnp.float32(config.anchor_temperature)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    trainables = {"model": params}
+    if config.anchor_temperature_learnable:
+        trainables["temperature"] = temperature
+    opt_state = optimizer.init(trainables)
+
+    state = TrainState(
+        step=jnp.int32(0),
+        params=params,
+        batch_stats=batch_stats,
+        temperature=temperature,
+        opt_state=opt_state,
+        rng=state_rng,
+    )
+
+    # Shard the whole state by the TP path rules (everything replicated
+    # when the model axis is 1).  The rules match the optimizer-moment
+    # copies of the kernels too, so mu/nu shard with their params.
+    state_shards = param_shardings(state, mesh)
+    state = jax.device_put(state, state_shards)
+
+    train_step = make_train_step(
+        model, config, optimizer, steps_per_epoch, total_steps, schedule,
+        state_shards=state_shards,
+        batch_shards=jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(DATA_AXIS)
+        ),
+    )
+    return TrainSetup(
+        config=config,
+        model=model,
+        state=state,
+        train_step=train_step,
+        mesh=mesh,
+        steps_per_epoch=steps_per_epoch,
+        total_steps=total_steps,
+        lr_schedule=schedule,
+    )
+
+
+def run_training(
+    setup: TrainSetup,
+    train_batches: Callable[[int], Iterator[Dict[str, Any]]],
+    eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
+    log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
+    checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None,
+    start_epoch: int = 0,
+) -> TrainState:
+    """The epoch loop (reference: sparsify_clip.py:739-986).
+
+    ``train_batches(epoch)`` yields host batches (dicts of np arrays);
+    ``eval_fn`` runs per-epoch evaluation (plus the pre-training eval,
+    matching sparsify_clip.py:739-740); ``checkpoint_fn`` fires every
+    ``save_checkpoint_every_n_epochs``.
+    """
+    config = setup.config
+    state = setup.state
+    if eval_fn is not None:
+        eval_fn(state)  # pre-training eval (sparsify_clip.py:740)
+
+    t0 = time.time()
+    for epoch in range(start_epoch, start_epoch + config.epochs):
+        for batch in train_batches(epoch):
+            batch = shard_batch(batch, setup.mesh)
+            state, metrics = setup.train_step(state, batch)
+            if log_fn is not None:
+                log_fn({k: float(v) for k, v in metrics.items()})
+        if eval_fn is not None:
+            eval_fn(state)
+        if (epoch + 1) % config.save_checkpoint_every_n_epochs == 0:
+            if checkpoint_fn is not None:
+                checkpoint_fn(state, epoch + 1)
+    jax.block_until_ready(state.params)
+    elapsed = time.time() - t0
+    if log_fn is not None:
+        log_fn({"train_time_s": elapsed})
+    setup.state = state
+    return state

@@ -1,0 +1,156 @@
+"""Eval metrics vs sort-based goldens + the uniformity family vs numpy."""
+
+import jax.numpy as jnp
+import math
+import numpy as np
+import pytest
+
+from sparsify_clip_tpu.eval import (
+    compute_all_metrics,
+    compute_gap,
+    mean_angular_value,
+    mean_true_pair_cosine,
+    retrieval_ranks,
+)
+from sparsify_clip_tpu.metrics.unif_w2 import (
+    eval_uniformity,
+    unif_w2_abs_eig,
+    unif_w2_eig_real,
+    unif_w2_joint,
+    unif_w2_single_svd,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def _embeds(n=64, d=32):
+    x = RNG.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def golden_ranks_sort_based(sim: np.ndarray):
+    """Reference semantics: descending sort, position of ground truth
+    (sparsify_clip.py:372-414), unique ids."""
+    n = sim.shape[0]
+    fwd = np.empty(n, np.int64)
+    for i in range(n):
+        order = np.argsort(-sim[i])
+        fwd[i] = int(np.where(order == i)[0][0])
+    bwd = np.empty(n, np.int64)
+    for j in range(n):
+        order = np.argsort(-sim[:, j])
+        bwd[j] = int(np.where(order == j)[0][0])
+    return fwd, bwd
+
+
+def test_retrieval_ranks_match_sort_semantics():
+    img, txt = _embeds(), _embeds()
+    sim = txt @ img.T
+    want_f, want_b = golden_ranks_sort_based(sim)
+    ids = jnp.arange(sim.shape[0])
+    got_f, got_b = retrieval_ranks(jnp.asarray(sim), ids, ids)
+    np.testing.assert_array_equal(np.asarray(got_f), want_f)
+    np.testing.assert_array_equal(np.asarray(got_b), want_b)
+
+
+def test_backward_duplicate_text_ids_min_rank():
+    # 3 texts for 2 images; image 0 has two captions -> min rank wins.
+    sim = jnp.asarray(
+        np.array([[0.9, 0.1], [0.2, 0.8], [0.5, 0.3]], np.float32)
+    )  # (3 texts, 2 images)
+    ids_txt = jnp.asarray([0, 1, 0])
+    ids_img = jnp.asarray([0, 1])
+    _, rank_b = retrieval_ranks(sim, ids_img, ids_txt)
+    # image 0 column: scores [0.9, 0.2, 0.5]; gt texts {0, 2}; best gt
+    # is 0.9 -> rank 0.  image 1 column: scores [0.1, 0.8, 0.3]; gt {1}
+    # at 0.8 -> rank 0.
+    np.testing.assert_array_equal(np.asarray(rank_b), [0, 0])
+
+
+def test_perfect_retrieval_gives_100():
+    x = _embeds(32, 16)
+    metrics = compute_all_metrics(jnp.asarray(x * 5), jnp.asarray(x * 5))
+    assert metrics["forward_r1"] == 100.0
+    assert metrics["backward_r1"] == 100.0
+    assert metrics["forward_ravg"] == 100.0
+    assert metrics["mean_cosine_similarity_true_pairs"] == 1.0
+
+
+def test_metric_dict_schema():
+    metrics = compute_all_metrics(jnp.asarray(_embeds()), jnp.asarray(_embeds()))
+    want_keys = {
+        "forward_r1", "forward_r5", "forward_r10", "forward_ravg",
+        "backward_r1", "backward_r5", "backward_r10", "backward_ravg",
+        "gap", "mean_angular_value_image", "mean_angular_value_text",
+        "uniformity", "mean_cosine_similarity_true_pairs",
+    }
+    assert set(metrics) == want_keys  # 13 metrics, reference names
+    assert all(isinstance(v, float) for v in metrics.values())
+
+
+def test_gap_and_angular_and_true_pairs():
+    img, txt = _embeds(48, 16), _embeds(48, 16)
+    gap = float(compute_gap(jnp.asarray(img), jnp.asarray(txt)))
+    assert gap == pytest.approx(
+        float(np.linalg.norm(img.mean(0) - txt.mean(0))), rel=1e-5
+    )
+    ang = float(mean_angular_value(jnp.asarray(img)))
+    cos = img @ img.T
+    want = cos[~np.eye(48, dtype=bool)].mean()
+    assert ang == pytest.approx(float(want), rel=1e-4)
+    tp = float(mean_true_pair_cosine(jnp.asarray(img), jnp.asarray(txt)))
+    assert tp == pytest.approx(float((img * txt).sum(1).mean()), rel=1e-4)
+
+
+# ---------------------------------------------------------------- W2 family
+def numpy_w2_golden(x: np.ndarray, eps_sigma=0.0, sign=-1.0):
+    """Transcription of the closed form with numpy eig (the reference's
+    inline eval metric, sparsify_clip.py:459-485)."""
+    n, d = x.shape
+    mu = x.mean(0)
+    xc = x - mu[None, :]
+    sigma = xc.T @ xc / n + eps_sigma
+    evals, q = np.linalg.eig(sigma)
+    evals = evals + 1e-8
+    ms = np.sqrt(np.diag(evals.clip(min=0)))
+    sqrt_sigma = q @ ms @ q.T
+    part2 = np.trace(sigma - 2.0 / np.sqrt(d) * sqrt_sigma)
+    return sign * math.sqrt((mu * mu).sum() + 1 + part2)
+
+
+def test_eval_uniformity_matches_numpy_eig():
+    img, txt = _embeds(64, 24), _embeds(64, 24)
+    both = np.concatenate([img, txt], 0)
+    want = numpy_w2_golden(both)
+    got = float(eval_uniformity(jnp.asarray(img), jnp.asarray(txt)))
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_w2_family_signs_and_consistency():
+    x = _embeds(64, 24)
+    plus_svd = float(unif_w2_single_svd(jnp.asarray(x)))
+    plus_eig = float(unif_w2_eig_real(jnp.asarray(x)))
+    plus_abs = float(unif_w2_abs_eig(jnp.asarray(x)))
+    assert plus_svd > 0 and plus_eig > 0 and plus_abs > 0
+    # same quantity through different sqrt routes
+    assert plus_svd == pytest.approx(plus_eig, rel=1e-3)
+    assert plus_svd == pytest.approx(plus_abs, rel=1e-3)
+    want = numpy_w2_golden(x, sign=1.0)
+    assert plus_eig == pytest.approx(want, rel=1e-4)
+
+    y = _embeds(64, 24)
+    joint = float(unif_w2_joint(jnp.asarray(x), jnp.asarray(y)))
+    assert joint < 0  # returns −W₂
+    want_joint = numpy_w2_golden(np.concatenate([x, y], 0), eps_sigma=1e-6)
+    assert joint == pytest.approx(want_joint, rel=1e-4)
+
+
+def test_uniformity_increases_toward_uniform():
+    # A tight cluster is far from uniform; spread points are closer.
+    d = 16
+    tight = _embeds(64, d) * 0.001 + np.array([1.0] + [0.0] * (d - 1), np.float32)
+    tight /= np.linalg.norm(tight, axis=1, keepdims=True)
+    spread = _embeds(64, d)
+    u_tight = float(eval_uniformity(jnp.asarray(tight), jnp.asarray(tight)))
+    u_spread = float(eval_uniformity(jnp.asarray(spread), jnp.asarray(spread)))
+    assert u_spread > u_tight  # −W₂: larger (less negative) = more uniform

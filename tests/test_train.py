@@ -1,0 +1,173 @@
+"""Train step integration on the 8-fake-device CPU mesh: loss descent,
+warm-phase crossing without recompile, learnable temperature, sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sparsify_clip_tpu.config import ExperimentConfig
+from sparsify_clip_tpu.models.clip import CLIPConfig, MODEL_REGISTRY
+from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
+from sparsify_clip_tpu.train import create_train_setup
+
+TINY = CLIPConfig(
+    name="test-tiny", embed_dim=16, vision_kind="vit", image_size=32,
+    vision_width=32, vision_layers=(2,), vision_heads=2, patch_size=16,
+    vocab_size=256, context_length=12, text_width=16, text_heads=2, text_layers=2,
+)
+MODEL_REGISTRY.setdefault("test-tiny", TINY)
+
+RNG = np.random.default_rng(0)
+
+
+def _batch(b=16):
+    tokens = RNG.integers(1, 250, size=(b, TINY.context_length)).astype(np.int32)
+    tokens[:, 0] = TINY.vocab_size - 2
+    tokens[:, -1] = TINY.vocab_size - 1
+    return {
+        "images": RNG.standard_normal((b, 32, 32, 3)).astype(np.float32),
+        "tokens": tokens,
+    }
+
+
+def _config(**kw):
+    base = dict(
+        model="test-tiny", batch_size=16, epochs=2, learning_rate=1e-3,
+        loss_type="anchor", fp16=False, seed=0,
+    )
+    base.update(kw)
+    return ExperimentConfig.from_dict(base)
+
+
+def test_loss_decreases_on_fixed_batch():
+    cfg = _config()
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    batch = shard_batch(_batch(), mesh)
+    state = setup.state
+    losses = []
+    for _ in range(10):
+        state, metrics = setup.train_step(state, batch)
+        losses.append(float(metrics["train_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_metrics_schema_and_lr():
+    cfg = _config()
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    state, metrics = setup.train_step(setup.state, shard_batch(_batch(), mesh))
+    for key in ("train_loss", "learning_rate", "beta", "alpha", "temperature",
+                "anchor", "lalign", "lunif"):
+        assert key in metrics
+    # step 0 of a no-hold run: linear warmup from 0 → lr == 0
+    assert float(metrics["learning_rate"]) == 0.0
+    state, metrics = setup.train_step(state, shard_batch(_batch(), mesh))
+    assert float(metrics["learning_rate"]) > 0.0
+    assert int(state.step) == 2
+
+
+def test_learnable_temperature_updates():
+    cfg = _config(anchor_temperature_learnable=True)
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    state = setup.state
+    t0 = float(state.temperature)
+    batch = shard_batch(_batch(), mesh)
+    for _ in range(3):
+        state, metrics = setup.train_step(state, batch)
+    assert float(state.temperature) != t0
+    assert float(metrics["temperature"]) == pytest.approx(float(state.temperature))
+
+
+def test_fixed_temperature_stays():
+    cfg = _config(anchor_temperature_learnable=False)
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    state = setup.state
+    batch = shard_batch(_batch(), mesh)
+    for _ in range(2):
+        state, _ = setup.train_step(state, batch)
+    assert float(state.temperature) == pytest.approx(0.1)
+
+
+def test_warm_phase_crossing_no_recompile():
+    """exp-6 style: epoch 0 is lunif-only; the switch into the full loss
+    happens inside one compiled step (lax.cond on the traced epoch)."""
+    cfg = _config(
+        loss_type="only_lunif_n_then_anchor+lalign+lunif(centroids)",
+        only_lunif_epochs=1,
+    )
+    mesh = create_mesh(data=8, model=1)
+    steps_per_epoch = 3
+    setup = create_train_setup(cfg, steps_per_epoch=steps_per_epoch, mesh=mesh)
+    state = setup.state
+    batch = shard_batch(_batch(), mesh)
+    phases = []
+    for _ in range(2 * steps_per_epoch):
+        state, metrics = setup.train_step(state, batch)
+        phases.append(float(metrics["anchor"]))
+    # warm phase: anchor component zero; main phase: nonzero.
+    assert all(a == 0.0 for a in phases[:steps_per_epoch])
+    assert all(a > 0.0 for a in phases[steps_per_epoch:])
+    # one compiled executable did both phases
+    assert setup.train_step._cache_size() == 1
+
+
+def test_lr_hold_during_sparsify_phase():
+    cfg = _config(
+        loss_type="only_lunif_n_then_anchor+lalign+lunif(centroids)",
+        only_lunif_epochs=1,
+    )
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    # steps < 462 hold the factor at 1.0 (reference sparsify hold)
+    _, metrics = setup.train_step(setup.state, shard_batch(_batch(), mesh))
+    assert float(metrics["learning_rate"]) == pytest.approx(cfg.learning_rate)
+
+
+def test_batch_actually_sharded():
+    mesh = create_mesh(data=8, model=1)
+    batch = shard_batch(_batch(16), mesh)
+    shards = batch["images"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape[0] == 2  # 16 / 8
+
+
+def test_resnet_tower_trains():
+    tiny_rn = CLIPConfig(
+        name="test-tiny-rn", embed_dim=16, vision_kind="resnet", image_size=32,
+        vision_width=8, vision_layers=(1, 1, 1, 1), vision_heads=4,
+        vocab_size=256, context_length=12, text_width=16, text_heads=2, text_layers=2,
+    )
+    MODEL_REGISTRY.setdefault("test-tiny-rn", tiny_rn)
+    cfg = _config(model="test-tiny-rn")
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    state = setup.state
+    # materialize before the step — donation invalidates the old buffers
+    old_bn = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.batch_stats)]
+    batch = shard_batch(_batch(), mesh)
+    state, metrics = setup.train_step(state, batch)
+    assert np.isfinite(float(metrics["train_loss"]))
+    new_bn = jax.tree_util.tree_leaves(state.batch_stats)
+    assert any(
+        np.abs(a - np.asarray(b)).max() > 0 for a, b in zip(old_bn, new_bn)
+    )
+
+
+def test_tensor_parallel_mesh_runs():
+    """2-way TP × 4-way DP: the same global-view step, different mesh."""
+    cfg = _config(mesh_model=2)
+    mesh = create_mesh(data=4, model=2)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+        ),
+        _batch(16),
+    )
+    state, metrics = setup.train_step(setup.state, batch)
+    assert np.isfinite(float(metrics["train_loss"]))
