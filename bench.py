@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: image-text pairs/sec/chip for the flagship
+ViT-B/32 train step with the experiment-6 loss stack
+(SPARSIFICATION(1E)+ANCHOR+LALIGN+LUNIF(CENTROIDS)), bf16, batch 256.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is measured against the anchor recorded in BASELINE.md:
+the reference publishes no numbers (README.md:1-49; BASELINE.json
+``published: {}``), so the anchor is an estimated single-GPU (A100-class,
+fp16, bs 256) throughput for the equivalent PyTorch/open_clip train
+step of ~1200 pairs/s.  Replace with a measured number when a GPU
+reference run exists.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Estimated GPU-reference pairs/sec (see module docstring + BASELINE.md).
+GPU_REFERENCE_PAIRS_PER_SEC = 1200.0
+
+BATCH_SIZE = 256
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+
+
+def main() -> None:
+    import jax
+
+    from sparsify_clip_tpu.config import ExperimentConfig
+    from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
+    from sparsify_clip_tpu.train import create_train_setup
+
+    n_chips = len(jax.devices())
+    mesh = create_mesh(data=n_chips, model=1)
+
+    config = ExperimentConfig.from_dict({
+        "model": "ViT-B-32",
+        "batch_size": BATCH_SIZE * n_chips,
+        "epochs": 100,
+        "learning_rate": 1e-4,
+        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
+        "only_lunif_epochs": 1,
+        "anchor_temperature": 0.1,
+        "fp16": True,
+        "seed": 42,
+    })
+    global_batch = config.batch_size
+
+    setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, 49000, size=(global_batch, 77)).astype(np.int32)
+    tokens[:, 0] = 49406
+    tokens[:, -1] = 49407
+    batch = shard_batch(
+        {
+            "images": rng.standard_normal((global_batch, 224, 224, 3)).astype(np.float32),
+            "tokens": tokens,
+        },
+        mesh,
+    )
+
+    state = setup.state
+    for _ in range(WARMUP_STEPS):
+        state, metrics = setup.train_step(state, batch)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state, metrics = setup.train_step(state, batch)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - t0
+
+    step_time = elapsed / TIMED_STEPS
+    pairs_per_sec = global_batch / step_time
+    pairs_per_sec_per_chip = pairs_per_sec / n_chips
+
+    print(json.dumps({
+        "metric": "image-text pairs/sec/chip (ViT-B/32 exp6 train step, bf16, bs256)",
+        "value": round(pairs_per_sec_per_chip, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec_per_chip / GPU_REFERENCE_PAIRS_PER_SEC, 3),
+        "detail": {
+            "chips": n_chips,
+            "global_batch": global_batch,
+            "step_time_ms": round(step_time * 1000, 2),
+            "loss": round(float(metrics["train_loss"]), 4),
+            "baseline_anchor": "estimated A100 fp16 open_clip ViT-B/32 ~1200 pairs/s (unmeasured; reference publishes none)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

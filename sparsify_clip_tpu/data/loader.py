@@ -1,0 +1,129 @@
+"""Threaded prefetching batch loader.
+
+The reference uses torch DataLoader worker *processes* with pinned
+memory (sparsify_clip.py:1060-1063) and tokenizes per step on the main
+process (sparsify_clip.py:762) — a host-side serialization point.
+Here decode + transform + caption choice + tokenization all happen in
+worker threads, and batches are prefetched so host work overlaps the
+device step (the TPU equivalent of pinned-memory prefetch; the heavy
+lifting is PIL/numpy which release the GIL).
+
+Batch schema: ``{"images": (B,S,S,3) f32, "tokens": (B,77) i32,
+"captions": list[str]}``.
+
+Determinism: per-(seed, epoch, index) RNG streams — shuffling, caption
+choice and crop/flip draws are all reproducible and independent of
+thread scheduling.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from sparsify_clip_tpu.data.transforms import test_transform, train_transform
+
+
+class DataLoader:
+    """Iterable over prefetched batches for one dataset split."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        tokenizer,
+        train: bool,
+        seed: int = 42,
+        shuffle: Optional[bool] = None,
+        drop_last: bool = True,
+        num_threads: int = 4,
+        prefetch: int = 2,
+        image_size: int = 224,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer
+        self.train = train
+        self.seed = seed
+        self.shuffle = train if shuffle is None else shuffle
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.image_size = image_size
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    # ------------------------------------------------------------------
+    def _load_item(self, index: int, epoch: int):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, index, int(self.train)])
+        )
+        img, captions = self.dataset[index]
+        if self.train:
+            arr = train_transform(img, rng, self.image_size)
+        else:
+            arr = test_transform(img, self.image_size)
+        # one random caption out of the ≤5 (sparsify_clip.py:1050-1057)
+        caption = captions[int(rng.integers(0, len(captions)))] if captions else ""
+        return arr, caption
+
+    def _make_batch(self, indices: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
+        items = [self._load_item(int(i), epoch) for i in indices]
+        images = np.stack([it[0] for it in items]).astype(np.float32)
+        captions = [it[1] for it in items]
+        tokens = self.tokenizer(captions)
+        return {"images": images, "tokens": tokens, "captions": captions}
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])
+            ).permutation(n)
+        nb = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
+        ]
+        if not batches:
+            return
+
+        out: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idx_block in batches:
+                    if stop.is_set():
+                        break
+                    out.put(self._make_batch(idx_block, epoch))
+            finally:
+                out.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while thread.is_alive():
+                try:
+                    out.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=5)
+
+    def __iter__(self):
+        return self.epoch(0)

@@ -1,0 +1,125 @@
+"""Data pipeline: COCO JSON index, transforms, loader, fixture e2e."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sparsify_clip_tpu.config import ExperimentConfig
+from sparsify_clip_tpu.data import (
+    CocoCaptionIndex,
+    CocoCaptions,
+    DataLoader,
+    SyntheticCaptions,
+    dataset_loader,
+)
+from sparsify_clip_tpu.data.synthetic import write_coco_fixture
+from sparsify_clip_tpu.data.transforms import (
+    CLIP_MEAN,
+    CLIP_STD,
+    sample_resized_crop_params,
+)
+from sparsify_clip_tpu.data.transforms import test_transform as eval_tf
+from sparsify_clip_tpu.data.transforms import train_transform as train_tf
+from sparsify_clip_tpu.text import get_tokenizer
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    return write_coco_fixture(str(tmp_path_factory.mktemp("coco")), 8, 8)
+
+
+def test_fixture_index(coco_root):
+    idx = CocoCaptionIndex(f"{coco_root}/annotations/captions_train2017.json")
+    assert len(idx) == 8
+    assert idx.ids == sorted(idx.ids)  # ascending image id (torchvision order)
+    assert all(len(c) == 5 for c in idx.captions)
+
+
+def test_coco_dataset_items(coco_root):
+    ds = CocoCaptions(
+        f"{coco_root}/images/val2017",
+        f"{coco_root}/annotations/captions_val2017.json",
+    )
+    img, captions = ds[0]
+    assert isinstance(img, Image.Image)
+    assert len(captions) == 5
+    assert isinstance(captions[0], str)
+
+
+def test_transforms_shapes_and_normalization():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray((rng.random((100, 150, 3)) * 255).astype(np.uint8))
+    train_out = train_tf(img, rng, size=32)
+    test_out = eval_tf(img, size=32)
+    assert train_out.shape == (32, 32, 3)
+    assert test_out.shape == (32, 32, 3)
+    # normalization: gray 0.5 maps near (0.5-mean)/std
+    gray = Image.fromarray(np.full((64, 64, 3), 128, np.uint8))
+    out = eval_tf(gray, size=16)
+    want = (128 / 255 - CLIP_MEAN) / CLIP_STD
+    np.testing.assert_allclose(out[0, 0], want, atol=1e-5)
+
+
+def test_crop_params_bounds():
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        top, left, h, w = sample_resized_crop_params(48, 97, rng)
+        assert 0 <= top <= 48 - h
+        assert 0 <= left <= 97 - w
+        assert 0 < h <= 48 and 0 < w <= 97
+
+
+def test_loader_batches_and_determinism():
+    ds = SyntheticCaptions(20, seed=0, image_size=48)
+    tok = get_tokenizer("RN50")
+    loader = DataLoader(ds, batch_size=8, tokenizer=tok, train=True, seed=7,
+                        image_size=32)
+    assert len(loader) == 2  # drop_last: 20 // 8
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (8, 32, 32, 3)
+    assert b["images"].dtype == np.float32
+    assert b["tokens"].shape == (8, 77)
+    assert len(b["captions"]) == 8
+    # same seed+epoch → identical batches
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(b["images"], again[0]["images"])
+    np.testing.assert_array_equal(b["tokens"], again[0]["tokens"])
+    # different epoch → different shuffle/crops
+    other = list(loader.epoch(1))
+    assert np.abs(b["images"] - other[0]["images"]).max() > 0
+
+
+def test_eval_loader_is_ordered_and_fixed():
+    ds = SyntheticCaptions(16, seed=0, image_size=48)
+    tok = get_tokenizer("RN50")
+    loader = DataLoader(ds, batch_size=8, tokenizer=tok, train=False, seed=7,
+                        image_size=32)
+    a = list(loader.epoch(0))
+    b = list(loader.epoch(5))
+    # eval transform is deterministic and unshuffled: epochs identical
+    np.testing.assert_array_equal(a[0]["images"], b[0]["images"])
+
+
+def test_dataset_loader_coco_protocol(coco_root):
+    cfg = ExperimentConfig.from_dict({
+        "learning_rate": 1e-4, "batch_size": 4, "data_root": coco_root,
+        "num_train_samples": -1, "num_test_samples": 4,
+    })
+    train_loader, test_loader = dataset_loader(cfg, image_size=32, num_threads=1)
+    assert len(train_loader) == 2  # 8 images / 4
+    assert len(test_loader) == 1   # head-subset of 4 / 4
+    batch = next(iter(test_loader))
+    assert batch["images"].shape == (4, 32, 32, 3)
+
+
+def test_dataset_loader_synthetic():
+    cfg = ExperimentConfig.from_dict({
+        "learning_rate": 1e-4, "batch_size": 8, "dataset": "synthetic",
+        "num_train_samples": 16, "num_test_samples": 8,
+    })
+    train_loader, test_loader = dataset_loader(cfg, image_size=32)
+    assert len(train_loader) == 2
+    batch = next(iter(train_loader))
+    assert batch["tokens"].max() == 49407  # eot present
