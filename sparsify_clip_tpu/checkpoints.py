@@ -1,0 +1,177 @@
+"""Checkpointing: full train state via orbax + weights-only export.
+
+The reference checkpoints weights only (``torch.save(state_dict)``
+every N epochs, sparsify_clip.py:982-984) and resumes weights-only —
+optimizer/scheduler/temperature restart from scratch (sparsify_clip.py:719-724,
+SURVEY.md §3.4).  Here:
+
+* ``save_full`` / ``restore_full`` — orbax checkpoints of the complete
+  :class:`~sparsify_clip_tpu.train.TrainState` (params, BN stats,
+  optimizer moments, temperature, step, PRNG key), so resume is exact;
+* ``save_weights`` / ``load_weights`` — params-only export mirroring
+  reference behavior (resume_epoch semantics included);
+* ``load_torch_clip_state_dict`` — convert an open_clip/CLIP PyTorch
+  ``state_dict`` into this framework's param tree for cross-checks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_full(state, directory: str, step: Optional[int] = None) -> str:
+    """Orbax-save the full TrainState under ``directory/step_{N}``."""
+    step = int(state.step) if step is None else step
+    path = os.path.join(_abs(directory), f"step_{step}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+    return path
+
+
+def restore_full(directory_or_path: str, abstract_state):
+    """Restore a TrainState saved by :func:`save_full`.
+
+    ``abstract_state`` is a matching TrainState of ShapeDtypeStructs or
+    a concrete template (e.g. a freshly created state)."""
+    path = _abs(directory_or_path)
+    if not os.path.basename(path).startswith("step_"):
+        steps = sorted(
+            (int(d.split("_", 1)[1]), d)
+            for d in os.listdir(path)
+            if d.startswith("step_")
+        )
+        if not steps:
+            raise FileNotFoundError(f"no step_* checkpoints under {path}")
+        path = os.path.join(path, steps[-1][1])
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract_state)
+
+
+def latest_step(directory: str) -> Optional[int]:
+    path = _abs(directory)
+    if not os.path.isdir(path):
+        return None
+    steps = [
+        int(d.split("_", 1)[1]) for d in os.listdir(path) if d.startswith("step_")
+    ]
+    return max(steps) if steps else None
+
+
+# ---------------------------------------------------------------- weights-only
+def save_weights(params: Any, path: str) -> str:
+    """Flat .npz export of a param tree (the reference's periodic
+    ``torch.save(model.state_dict())`` equivalent)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for key_path, leaf in flat:
+        name = "/".join(getattr(k, "key", getattr(k, "name", str(k))) for k in key_path)
+        arrays[name] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(_abs(path)) or ".", exist_ok=True)
+    np.savez(_abs(path), **arrays)
+    return path
+
+
+def load_weights(params_template: Any, path: str) -> Any:
+    """Load an .npz produced by :func:`save_weights` into the shape of
+    ``params_template`` (weights-only resume, sparsify_clip.py:719-724)."""
+    data = np.load(_abs(path) if path.endswith(".npz") else _abs(path) + ".npz")
+
+    def fill(key_path, leaf):
+        name = "/".join(getattr(k, "key", getattr(k, "name", str(k))) for k in key_path)
+        arr = data[name]
+        if arr.shape != leaf.shape:
+            raise ValueError(f"shape mismatch for {name}: {arr.shape} vs {leaf.shape}")
+        return jax.numpy.asarray(arr, dtype=leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, params_template)
+
+
+# ------------------------------------------------------- torch interop
+def load_torch_clip_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict[str, Any]:
+    """Map an open_clip/OpenAI CLIP torch ``state_dict`` (tensors or
+    ndarrays; ``module.``-prefixed keys accepted — the reference saves
+    DataParallel-wrapped dicts, sparsify_clip.py:982) onto this
+    framework's naming.  Returns a flat {our_path: array} dict; use
+    together with :func:`load_weights`-style filling.  Dense kernels are
+    transposed from torch's (out, in) to flax's (in, out); conv kernels
+    from OIHW to HWIO.
+    """
+    out: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        arr = np.asarray(getattr(value, "numpy", lambda: value)())
+        if key.startswith("module."):
+            key = key[len("module."):]
+        if key == "logit_scale":
+            out["logit_scale"] = arr
+            continue
+        parts = key.split(".")
+        if parts[0] == "token_embedding":
+            out["text/token_embedding"] = arr
+        elif parts[0] == "positional_embedding":
+            out["text/positional_embedding"] = arr
+        elif parts[0] == "text_projection":
+            out["text/text_projection"] = arr
+        elif parts[0] == "ln_final":
+            out[f"text/ln_final/ln/{'scale' if parts[1]=='weight' else 'bias'}"] = arr
+        elif parts[0] == "transformer":
+            # transformer.resblocks.N....
+            n = parts[2]
+            rest = ".".join(parts[3:])
+            out.update(_map_resblock(f"text/transformer/resblock_{n}", rest, arr))
+        elif parts[0] == "visual":
+            out.update(_map_visual(".".join(parts[1:]), arr))
+        else:
+            out[f"_unmapped/{key}"] = arr
+    return out
+
+
+def _map_linear(prefix: str, rest: str, arr: np.ndarray) -> Dict[str, np.ndarray]:
+    if rest.endswith("weight"):
+        return {f"{prefix}/kernel": arr.T}
+    return {f"{prefix}/bias": arr}
+
+
+def _map_resblock(prefix: str, rest: str, arr: np.ndarray) -> Dict[str, np.ndarray]:
+    if rest.startswith("attn.in_proj_"):
+        return _map_linear(f"{prefix}/attn/in_proj", rest, arr)
+    if rest.startswith("attn.out_proj"):
+        return _map_linear(f"{prefix}/attn/out_proj", rest, arr)
+    if rest.startswith("mlp.c_fc"):
+        return _map_linear(f"{prefix}/mlp/c_fc", rest, arr)
+    if rest.startswith("mlp.c_proj"):
+        return _map_linear(f"{prefix}/mlp/c_proj", rest, arr)
+    for ln in ("ln_1", "ln_2"):
+        if rest.startswith(ln):
+            kind = "scale" if rest.endswith("weight") else "bias"
+            return {f"{prefix}/{ln}/ln/{kind}": arr}
+    return {f"{prefix}/_unmapped/{rest}": arr}
+
+
+def _map_visual(rest: str, arr: np.ndarray) -> Dict[str, np.ndarray]:
+    p = "visual"
+    if rest == "class_embedding":
+        return {f"{p}/class_embedding": arr}
+    if rest == "positional_embedding":
+        return {f"{p}/positional_embedding": arr}
+    if rest == "proj":
+        return {f"{p}/proj": arr}
+    if rest.startswith("conv1.weight"):
+        return {f"{p}/conv1/kernel": arr.transpose(2, 3, 1, 0)}  # OIHW→HWIO
+    for ln in ("ln_pre", "ln_post"):
+        if rest.startswith(ln):
+            kind = "scale" if rest.endswith("weight") else "bias"
+            return {f"{p}/{ln}/ln/{kind}": arr}
+    if rest.startswith("transformer.resblocks."):
+        parts = rest.split(".")
+        n = parts[2]
+        return _map_resblock(f"{p}/transformer/resblock_{n}", ".".join(parts[3:]), arr)
+    return {f"{p}/_unmapped/{rest}": arr}

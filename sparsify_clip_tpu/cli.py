@@ -1,0 +1,165 @@
+"""Experiment runner CLI.
+
+Usage parity with the reference (sparsify_clip.py:1127-1156):
+
+    python -m sparsify_clip_tpu.cli --config <file-or-dir> [--device N]
+
+File mode runs one experiment; directory mode sweeps every ``*.yaml``
+sequentially (skipping empty ones).  ``--device`` selects the lead
+device index for mesh construction (the reference's GPU id).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from sparsify_clip_tpu.config import ExperimentConfig, load_config, load_config_dir
+
+
+def set_seed(seed: int) -> None:
+    """Host-side RNG seeding (reference: sparsify_clip.py:1071-1078;
+    device-side randomness is handled by explicit JAX PRNG keys)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str, float]:
+    """Full experiment: data → train w/ per-epoch eval → final eval/save
+    (reference: main(), sparsify_clip.py:1084-1121)."""
+    import jax
+
+    from sparsify_clip_tpu import checkpoints
+    from sparsify_clip_tpu.data import dataset_loader
+    from sparsify_clip_tpu.eval import evaluate_model
+    from sparsify_clip_tpu.logging import RunLogger
+    from sparsify_clip_tpu.train import create_train_setup, run_training
+    from sparsify_clip_tpu.viz import plot_all_methods
+
+    logger = RunLogger(
+        project=config.project_name,
+        run_name=config.run_name,
+        config=config.to_dict(),
+        log_dir=config.log_dir,
+        backend=config.log_backend,
+    )
+    set_seed(config.seed)
+    print("Config:", config.to_dict())
+    print("Experiment:", config.run_name)
+
+    print("\nLoading the dataset...")
+    train_loader, test_loader = dataset_loader(config, image_size=image_size or 224)
+    print("Dataset loaded.\n")
+
+    setup = create_train_setup(
+        config, steps_per_epoch=len(train_loader), image_size=image_size
+    )
+    model = setup.model
+
+    start_epoch = 0
+    if config.resume_requested:
+        print(f"Resuming from {config.resume_checkpoint} at epoch {config.resume_epoch}")
+        # weights-only resume — reference semantics (sparsify_clip.py:719-724):
+        # optimizer/schedule/temperature restart from scratch.
+        params = checkpoints.load_weights(
+            setup.state.params, str(config.resume_checkpoint)
+        )
+        setup.state = setup.state.replace(params=params)
+        start_epoch = config.resume_epoch
+
+    eval_batches = list(test_loader.epoch(0))
+    last_eval: Dict[str, float] = {}
+
+    def eval_fn(state):
+        nonlocal last_eval
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        plot_fn = None
+        if config.plot_embeddings:
+            def plot_fn(txt, img):
+                plot_all_methods(
+                    txt, img, out_dir="plots", tag=f"{time.time():.0f}", logger=logger
+                )
+        metrics = evaluate_model(
+            model, variables, eval_batches,
+            plot_embeddings=config.plot_embeddings, plot_fn=plot_fn,
+        )
+        print("Evaluation Results:", metrics, "\n")
+        logger.log(metrics)
+        last_eval = metrics
+        return metrics
+
+    def log_fn(metrics):
+        if "train_loss" in metrics:
+            logger.log_train_step(metrics, config.anchor_temperature_learnable)
+        else:
+            logger.log(metrics)
+
+    def checkpoint_fn(state, epoch):
+        os.makedirs(config.checkpoint_dir, exist_ok=True)
+        checkpoints.save_weights(
+            state.params,
+            os.path.join(config.checkpoint_dir, f"{config.run_name}_epoch_{epoch}.npz"),
+        )
+        checkpoints.save_full(state, os.path.join(config.checkpoint_dir, config.run_name))
+        print(f"Model saved at epoch {epoch}")
+
+    print("Training the model...")
+    state = run_training(
+        setup,
+        train_batches=lambda epoch: train_loader.epoch(epoch),
+        eval_fn=eval_fn,
+        log_fn=log_fn,
+        checkpoint_fn=checkpoint_fn,
+        start_epoch=start_epoch,
+    )
+    print("Training complete.\n")
+
+    print("Final evaluation of the model...")
+    final_log = eval_fn(state)
+    print("Evaluation complete.\n")
+
+    os.makedirs(config.checkpoint_dir, exist_ok=True)
+    checkpoints.save_weights(
+        state.params, os.path.join(config.checkpoint_dir, f"{config.run_name}.npz")
+    )
+    logger.finish()
+    del jax  # keep the import local-and-lazy for fast --help
+    return final_log
+
+
+def cli(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Run a sparsify-clip experiment from a yaml config"
+    )
+    parser.add_argument(
+        "--config", type=str, required=True,
+        help="Path to a yaml config file or a folder of config files",
+    )
+    parser.add_argument(
+        "--device", type=int, default=0,
+        help="Lead device index (reference: GPU id)",
+    )
+    parser.add_argument(
+        "--image-size", type=int, default=None,
+        help="Override image resolution (e.g. tiny smoke runs)",
+    )
+    args = parser.parse_args(argv)
+
+    if os.path.isfile(args.config):
+        main(load_config(args.config, args.device), image_size=args.image_size)
+    elif os.path.isdir(args.config):
+        for config in load_config_dir(args.config, args.device):
+            main(config, image_size=args.image_size)
+    else:
+        parser.error(f"--config path not found: {args.config}")
+
+
+if __name__ == "__main__":
+    cli()

@@ -277,7 +277,11 @@ def run_training(
     t0 = time.time()
     for epoch in range(start_epoch, start_epoch + config.epochs):
         for batch in train_batches(epoch):
-            batch = shard_batch(batch, setup.mesh)
+            # device batch = array fields only (loaders also carry the
+            # raw caption strings for debugging/roberta-style losses)
+            batch = shard_batch(
+                {"images": batch["images"], "tokens": batch["tokens"]}, setup.mesh
+            )
             state, metrics = setup.train_step(state, batch)
             if log_fn is not None:
                 log_fn({k: float(v) for k, v in metrics.items()})
