@@ -1,0 +1,77 @@
+"""Pallas kernels vs their XLA twins (values + gradients).
+
+On CPU the kernels run under the TPU interpreter
+(``pltpu.force_tpu_interpret_mode``) so the exact kernel code path is
+exercised; on real TPU the same asserts run compiled (see the verify
+skill / bench).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from sparsify_clip_tpu.losses.contrastive import contrastive_loss
+from sparsify_clip_tpu.losses.unif import lunif_loss
+from sparsify_clip_tpu.ops.pallas_infonce import infonce_loss_pallas
+from sparsify_clip_tpu.ops.pallas_lunif import lunif_loss_pallas
+
+RNG = np.random.default_rng(11)
+
+
+def _embeds(n, d):
+    x = RNG.standard_normal((n, d)).astype(np.float32)
+    return jnp.asarray(x / np.linalg.norm(x, axis=1, keepdims=True))
+
+
+@pytest.mark.parametrize("n,d", [(128, 128), (256, 128), (200, 128)])
+def test_lunif_forward_matches_xla(n, d):
+    x = _embeds(n, d)
+    want = float(lunif_loss(x))
+    with pltpu.force_tpu_interpret_mode():
+        got = float(lunif_loss_pallas(x))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_lunif_grad_matches_xla():
+    x = _embeds(128, 128)
+    want = jax.grad(lambda v: lunif_loss(v))(x)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda v: lunif_loss_pallas(v))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("n,d", [(128, 128), (256, 128), (200, 128)])
+def test_infonce_forward_matches_xla(n, d):
+    img, txt = _embeds(n, d), _embeds(n, d)
+    want = float(contrastive_loss(img, txt, 0.1))
+    with pltpu.force_tpu_interpret_mode():
+        got = float(infonce_loss_pallas(img, txt, jnp.float32(0.1)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_infonce_grads_match_xla():
+    img, txt = _embeds(128, 128), _embeds(128, 128)
+    t = jnp.float32(0.1)
+
+    def xla(i, x, tt):
+        return contrastive_loss(i, x, tt)
+
+    gi_w, gt_w, gT_w = jax.grad(xla, argnums=(0, 1, 2))(img, txt, t)
+    with pltpu.force_tpu_interpret_mode():
+        gi, gt, gT = jax.grad(
+            lambda i, x, tt: infonce_loss_pallas(i, x, tt), argnums=(0, 1, 2)
+        )(img, txt, t)
+    np.testing.assert_allclose(np.asarray(gi), np.asarray(gi_w), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(gt_w), rtol=1e-4, atol=1e-6)
+    assert float(gT) == pytest.approx(float(gT_w), rel=1e-4)
+
+
+def test_infonce_learnable_temperature_path():
+    img, txt = _embeds(128, 128), _embeds(128, 128)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda tt: infonce_loss_pallas(img, txt, tt))(jnp.float32(0.1))
+    want = jax.grad(lambda tt: contrastive_loss(img, txt, tt))(jnp.float32(0.1))
+    assert float(g) == pytest.approx(float(want), rel=1e-4)
