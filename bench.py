@@ -69,12 +69,15 @@ def main() -> None:
     state = setup.state
     for _ in range(WARMUP_STEPS):
         state, metrics = setup.train_step(state, batch)
-    jax.block_until_ready(state.params)
+    # force a device->host scalar read: under the axon tunnel,
+    # block_until_ready on a donated buffer can return before the
+    # compute chain drains, so a value read is the only honest fence
+    float(metrics["train_loss"])
 
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
         state, metrics = setup.train_step(state, batch)
-    jax.block_until_ready(state.params)
+    float(metrics["train_loss"])  # fence (see above)
     elapsed = time.perf_counter() - t0
 
     step_time = elapsed / TIMED_STEPS
