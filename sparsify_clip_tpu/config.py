@@ -83,6 +83,10 @@ class ExperimentConfig:
     dataset: str = "coco"
     # Use Pallas fused kernels for the loss block (XLA fallback if False).
     use_pallas: bool = True
+    # Per-block rematerialization in the towers: ~25% step-time cost,
+    # required for per-chip batches >= 512 on 16G HBM.  The reference
+    # batch (256/chip) fits without it.
+    remat: bool = False
     # Optional path to the real CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz).
     bpe_vocab_path: Optional[str] = None
     # Logging backend: "jsonl" (always available) and/or "wandb" when installed.

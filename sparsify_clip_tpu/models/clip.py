@@ -87,6 +87,9 @@ class CLIP(nn.Module):
 
     cfg: CLIPConfig
     dtype: Any = jnp.float32
+    # Per-block rematerialization in the transformer towers (memory for
+    # recompute; needed for per-chip batches >= 512 on 16G HBM).
+    remat: bool = False
 
     def setup(self):
         act = quick_gelu if self.cfg.quick_gelu else nn.gelu
@@ -109,6 +112,7 @@ class CLIP(nn.Module):
                 embed_dim=self.cfg.embed_dim,
                 dtype=self.dtype,
                 act=act,
+                remat=self.remat,
             )
         else:
             raise ValueError(f"Unknown vision_kind {self.cfg.vision_kind}")
@@ -121,6 +125,7 @@ class CLIP(nn.Module):
             embed_dim=self.cfg.embed_dim,
             dtype=self.dtype,
             act=act,
+            remat=self.remat,
         )
 
     def encode_image(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -142,6 +147,7 @@ def create_model(
     dtype: Any = jnp.float32,
     rng: Optional[jax.Array] = None,
     image_size: Optional[int] = None,
+    remat: bool = False,
 ):
     """Build a CLIP model + freshly-initialized variables.
 
@@ -154,7 +160,7 @@ def create_model(
     cfg = MODEL_REGISTRY[name]
     if image_size is not None:
         cfg = dataclasses.replace(cfg, image_size=image_size)
-    model = CLIP(cfg=cfg, dtype=dtype)
+    model = CLIP(cfg=cfg, dtype=dtype, remat=remat)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     dummy_images = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)

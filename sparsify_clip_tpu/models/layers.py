@@ -144,13 +144,20 @@ class Transformer(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+    # Rematerialize each block in the backward pass.  The fp32 attention
+    # scores ((B, H, L, L) per layer) otherwise dominate HBM at training
+    # time — on a 16G v5e chip, bs1024 ViT-B/32 OOMs without this.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock)
         # Unrolled python loop: 12 blocks trace fast and XLA pipelines
         # them; lax.scan-over-layers only pays off at far greater depth.
         for i in range(self.layers):
-            x = ResidualAttentionBlock(
+            x = block_cls(
                 self.width, self.heads, dtype=self.dtype, act=self.act,
                 name=f"resblock_{i}",
             )(x, mask)

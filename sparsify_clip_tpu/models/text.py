@@ -31,6 +31,7 @@ class TextTransformer(nn.Module):
     embed_dim: int = 512
     dtype: Any = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+    remat: bool = False
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -52,7 +53,7 @@ class TextTransformer(nn.Module):
         x = x + positional_embedding[:l].astype(self.dtype)
         x = Transformer(
             self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
-            name="transformer",
+            remat=self.remat, name="transformer",
         )(x, causal_mask(l))
         x = LayerNorm(name="ln_final")(x)
 

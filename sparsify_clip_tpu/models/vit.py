@@ -27,6 +27,7 @@ class VisionTransformer(nn.Module):
     embed_dim: int = 512
     dtype: Any = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +65,7 @@ class VisionTransformer(nn.Module):
         x = LayerNorm(name="ln_pre")(x)
         x = Transformer(
             self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
-            name="transformer",
+            remat=self.remat, name="transformer",
         )(x)
         x = LayerNorm(name="ln_post")(x[:, 0, :])
 

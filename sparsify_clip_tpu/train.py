@@ -207,7 +207,8 @@ def create_train_setup(
     dtype = jnp.bfloat16 if config.fp16 else jnp.float32
     init_rng, state_rng = jax.random.split(rng)
     model, variables = create_model(
-        config.model, dtype=dtype, rng=init_rng, image_size=image_size
+        config.model, dtype=dtype, rng=init_rng, image_size=image_size,
+        remat=config.remat,
     )
 
     optimizer, schedule = build_optimizer(config, total_steps)
