@@ -32,6 +32,9 @@ from sparsify_clip_tpu.losses.centroids import normalized_centroids
 from sparsify_clip_tpu.losses.contrastive import contrastive_loss
 from sparsify_clip_tpu.losses.unif import lunif_loss
 
+# Fused-kernel substitutes are injected per-experiment by make_loss_fn
+# (sparsify_clip_tpu.ops.fused): same signatures, Pallas on TPU.
+
 Aux = Dict[str, jnp.ndarray]
 LossFn = Callable[..., Tuple[jnp.ndarray, Aux]]
 
@@ -60,86 +63,86 @@ def _zero() -> jnp.ndarray:
     return jnp.float32(0.0)
 
 
-def _warm_lunif(img: jnp.ndarray, txt: jnp.ndarray) -> Tuple[jnp.ndarray, Aux]:
+def _warm_lunif(img: jnp.ndarray, txt: jnp.ndarray, lunif=lunif_loss) -> Tuple[jnp.ndarray, Aux]:
     """The only_lunif warm phase: pure per-modality uniformity
     (e.g. sparsify_clip.py:796-799)."""
-    lunif_img = lunif_loss(img)
-    lunif_txt = lunif_loss(txt)
+    lunif_img = lunif(img)
+    lunif_txt = lunif(txt)
     loss = (lunif_img + lunif_txt) / 2.0
     return loss, {"anchor": _zero(), "lalign": _zero(), "lunif": loss}
 
 
-def _anchor_only(img, txt, ctx: LossContext):
-    loss = contrastive_loss(img, txt, temperature=ctx.temperature)
+def _anchor_only(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
+    loss = infonce(img, txt, ctx.temperature)
     return loss, {"anchor": loss, "lalign": _zero(), "lunif": _zero()}
 
 
-def _anchor_lalign_lunif_modality(img, txt, ctx: LossContext):
-    anchor = contrastive_loss(img, txt, temperature=ctx.temperature)
+def _anchor_lalign_lunif_modality(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
+    anchor = infonce(img, txt, ctx.temperature)
     lalign = lalign_loss(img, txt)
-    lunif = (lunif_loss(img) + lunif_loss(txt)) / 2.0
+    lunif = (lunif(img) + lunif(txt)) / 2.0
     return anchor + lunif + lalign, {"anchor": anchor, "lalign": lalign, "lunif": lunif}
 
 
-def _anchor_lalign_lunif_centroids(img, txt, ctx: LossContext):
-    anchor = contrastive_loss(img, txt, temperature=ctx.temperature)
-    lunif_c = lunif_loss(normalized_centroids(img, txt))
+def _anchor_lalign_lunif_centroids(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
+    anchor = infonce(img, txt, ctx.temperature)
+    lunif_c = lunif(normalized_centroids(img, txt))
     lalign = lalign_loss(img, txt)
     return anchor + lalign + lunif_c, {"anchor": anchor, "lalign": lalign, "lunif": lunif_c}
 
 
-def _anchor_lalign_beta_lunif_modality(img, txt, ctx: LossContext):
+def _anchor_lalign_beta_lunif_modality(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
     # Executed semantics of BOTH experiments 7 and 8 (dead-elif; see
     # module docstring / sparsify_clip.py:813-829).
-    anchor = contrastive_loss(img, txt, temperature=ctx.temperature)
-    lunif = (lunif_loss(img) + lunif_loss(txt)) / 2.0
+    anchor = infonce(img, txt, ctx.temperature)
+    lunif = (lunif(img) + lunif(txt)) / 2.0
     lalign = lalign_loss(img, txt)
     return anchor + lalign + ctx.beta * lunif, {
         "anchor": anchor, "lalign": lalign, "lunif": lunif,
     }
 
 
-def _anchor_lalign_beta_lunif_centroids_dead(img, txt, ctx: LossContext):
+def _anchor_lalign_beta_lunif_centroids_dead(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
     # The unreachable reference branch (sparsify_clip.py:833-851).
-    anchor = contrastive_loss(img, txt, temperature=ctx.temperature)
-    lunif_c = lunif_loss(normalized_centroids(img, txt))
+    anchor = infonce(img, txt, ctx.temperature)
+    lunif_c = lunif(normalized_centroids(img, txt))
     lalign = lalign_loss(img, txt)
     return anchor + lalign + ctx.beta * lunif_c, {
         "anchor": anchor, "lalign": lalign, "lunif": lunif_c,
     }
 
 
-def _anchor_alpha_lalign_beta_lunif_modality(img, txt, ctx: LossContext):
+def _anchor_alpha_lalign_beta_lunif_modality(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
     # Experiment 9 (sparsify_clip.py:854-875).
-    anchor = contrastive_loss(img, txt, temperature=ctx.temperature)
-    lunif = (lunif_loss(img) + lunif_loss(txt)) / 2.0
+    anchor = infonce(img, txt, ctx.temperature)
+    lunif = (lunif(img) + lunif(txt)) / 2.0
     lalign = lalign_loss(img, txt)
     return anchor + ctx.alpha * lalign + ctx.beta * lunif, {
         "anchor": anchor, "lalign": lalign, "lunif": lunif,
     }
 
 
-def _anchor_alpha_lalign_beta_lunif_centroids(img, txt, ctx: LossContext):
+def _anchor_alpha_lalign_beta_lunif_centroids(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
     # Experiment 10 (sparsify_clip.py:879-902).
-    anchor = contrastive_loss(img, txt, temperature=ctx.temperature)
-    lunif_c = lunif_loss(normalized_centroids(img, txt))
+    anchor = infonce(img, txt, ctx.temperature)
+    lunif_c = lunif(normalized_centroids(img, txt))
     lalign = lalign_loss(img, txt)
     return anchor + ctx.alpha * lalign + ctx.beta * lunif_c, {
         "anchor": anchor, "lalign": lalign, "lunif": lunif_c,
     }
 
 
-def _anchor_lalign(img, txt, ctx: LossContext):
+def _anchor_lalign(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
     # Ablation 1 (sparsify_clip.py:922-927).
-    anchor = contrastive_loss(img, txt, temperature=ctx.temperature)
+    anchor = infonce(img, txt, ctx.temperature)
     lalign = lalign_loss(img, txt)
     return anchor + lalign, {"anchor": anchor, "lalign": lalign, "lunif": _zero()}
 
 
-def _anchor_lunif_centroids(img, txt, ctx: LossContext):
+def _anchor_lunif_centroids(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
     # Ablation 2 (sparsify_clip.py:930-938).
-    anchor = contrastive_loss(img, txt, temperature=ctx.temperature)
-    lunif_c = lunif_loss(normalized_centroids(img, txt))
+    anchor = infonce(img, txt, ctx.temperature)
+    lunif_c = lunif(normalized_centroids(img, txt))
     return anchor + lunif_c, {"anchor": anchor, "lalign": _zero(), "lunif": lunif_c}
 
 
@@ -164,13 +167,17 @@ _DISPATCH: Dict[str, Tuple[LossFn, bool]] = {
     # Non-reference extras:
     "__dead__anchor+lalign+BETA*lunif(centroids)": (
         _anchor_lalign_beta_lunif_centroids_dead, True),
-    "lunif": (lambda img, txt, ctx: _warm_lunif(img, txt), False),
+    "lunif": (
+        lambda img, txt, ctx, infonce=contrastive_loss, lunif=lunif_loss:
+            _warm_lunif(img, txt, lunif),
+        False,
+    ),
     "anchor+lunif": (
-        lambda img, txt, ctx: (
+        lambda img, txt, ctx, infonce=contrastive_loss, lunif=lunif_loss: (
             lambda a, u: (a + u, {"anchor": a, "lalign": _zero(), "lunif": u})
         )(
-            contrastive_loss(img, txt, temperature=ctx.temperature),
-            (lunif_loss(img) + lunif_loss(txt)) / 2.0,
+            infonce(img, txt, ctx.temperature),
+            (lunif(img) + lunif(txt)) / 2.0,
         ),
         False,
     ),
@@ -179,12 +186,16 @@ _DISPATCH: Dict[str, Tuple[LossFn, bool]] = {
 KNOWN_LOSS_TYPES = tuple(k for k in _DISPATCH if not k.startswith("__dead__"))
 
 
-def make_loss_fn(loss_type: str) -> LossFn:
+def make_loss_fn(loss_type: str, use_pallas: bool = False) -> LossFn:
     """Return ``fn(image_embeds, text_embeds, ctx) -> (loss, aux)``.
 
     ``aux`` always contains the scalar components ``anchor``,
     ``lalign``, ``lunif`` (zeros where a component does not apply) so
     the logging schema is uniform across experiments.
+
+    ``use_pallas`` swaps the InfoNCE / uniformity terms for the fused
+    Pallas kernels (:mod:`sparsify_clip_tpu.ops`) — TPU only; the XLA
+    twins run elsewhere regardless.
     """
     if loss_type not in _DISPATCH:
         raise ValueError(
@@ -192,9 +203,20 @@ def make_loss_fn(loss_type: str) -> LossFn:
         )
     main_fn, has_warm = _DISPATCH[loss_type]
 
+    if use_pallas:
+        from sparsify_clip_tpu.ops.fused import fused_infonce_loss, fused_lunif_loss
+
+        def infonce(img, txt, temperature):
+            return fused_infonce_loss(img, txt, temperature, use_pallas=True)
+
+        def lunif(x):
+            return fused_lunif_loss(x, use_pallas=True)
+    else:
+        infonce, lunif = contrastive_loss, lunif_loss
+
     if not has_warm:
         def fn(img, txt, ctx: LossContext):
-            return main_fn(img, txt, ctx)
+            return main_fn(img, txt, ctx, infonce, lunif)
         return fn
 
     def fn(img, txt, ctx: LossContext):
@@ -202,8 +224,8 @@ def make_loss_fn(loss_type: str) -> LossFn:
         # switch costs no recompile.
         return jax.lax.cond(
             ctx.warm,
-            lambda: _warm_lunif(img, txt),
-            lambda: main_fn(img, txt, ctx),
+            lambda: _warm_lunif(img, txt, lunif),
+            lambda: main_fn(img, txt, ctx, infonce, lunif),
         )
 
     return fn

@@ -56,7 +56,8 @@ def _fwd_kernel(
 
     temp = temp_ref[0, 0]
     z = jnp.dot(
-        img_ref[:], txt_ref[:].T, preferred_element_type=jnp.float32
+        img_ref[:], txt_ref[:].T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) / temp  # (TM, B)
 
     b = z.shape[1]
@@ -120,7 +121,7 @@ def _bwd_kernel(
     g = g_ref[0, 0]
     img = img_ref[:]
     txt = txt_ref[:]
-    z = jnp.dot(img, txt.T, preferred_element_type=jnp.float32) / temp
+    z = jnp.dot(img, txt.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) / temp
 
     b = z.shape[1]
     row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, b), 0)
@@ -132,8 +133,8 @@ def _bwd_kernel(
     delta = (row_ids == col_ids).astype(jnp.float32)
     dz = jnp.where(valid, (g / (2.0 * n)) * (p_row + p_col - 2.0 * delta), 0.0)
 
-    dimg_ref[:] = jnp.dot(dz, txt, preferred_element_type=jnp.float32) / temp
-    dtxt_acc_ref[:] += jnp.dot(dz.T, img, preferred_element_type=jnp.float32) / temp
+    dimg_ref[:] = jnp.dot(dz, txt, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) / temp
+    dtxt_acc_ref[:] += jnp.dot(dz.T, img, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) / temp
     dtemp_acc_ref[0, 0] += jnp.sum(dz * jnp.where(valid, z, 0.0))
 
     @pl.when(i == pl.num_programs(0) - 1)

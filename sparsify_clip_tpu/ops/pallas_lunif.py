@@ -48,7 +48,7 @@ def _fwd_kernel(xi_ref, xj_ref, s_ref, acc_ref, *, t: float, n: int):
 
     xi = xi_ref[:]
     xj = xj_ref[:]
-    gram = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32)
+    gram = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     ni = jnp.sum(xi * xi, axis=1, keepdims=True)
     nj = jnp.sum(xj * xj, axis=1, keepdims=True)
     d2 = jnp.maximum(ni + nj.T - 2.0 * gram, 0.0)
@@ -99,7 +99,7 @@ def _bwd_kernel(xi_ref, xj_ref, r_ref, wx_ref, racc_ref, wxacc_ref, *, t: float,
 
     xi = xi_ref[:]
     xj = xj_ref[:]
-    gram = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32)
+    gram = jnp.dot(xi, xj.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     ni = jnp.sum(xi * xi, axis=1, keepdims=True)
     nj = jnp.sum(xj * xj, axis=1, keepdims=True)
     d2 = jnp.maximum(ni + nj.T - 2.0 * gram, 0.0)
@@ -111,7 +111,7 @@ def _bwd_kernel(xi_ref, xj_ref, r_ref, wx_ref, racc_ref, wxacc_ref, *, t: float,
     w = jnp.where(mask, w, 0.0)
 
     racc_ref[:] += jnp.sum(w, axis=1, keepdims=True)
-    wxacc_ref[:] += jnp.dot(w, xj, preferred_element_type=jnp.float32)
+    wxacc_ref[:] += jnp.dot(w, xj, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():

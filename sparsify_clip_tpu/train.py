@@ -106,7 +106,7 @@ def make_train_step(
     out-shardings so step N's output layout is exactly step N+1's input
     layout — one compile, zero relayout copies.
     """
-    loss_core = make_loss_fn(config.loss_type)
+    loss_core = make_loss_fn(config.loss_type, use_pallas=config.use_pallas)
     learnable_temp = config.anchor_temperature_learnable
     has_bn = model.cfg.vision_kind == "resnet"
 
