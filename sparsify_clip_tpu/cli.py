@@ -41,6 +41,11 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
     from sparsify_clip_tpu.train import create_train_setup, run_training
     from sparsify_clip_tpu.viz import plot_all_methods
 
+    if config.debug_nans:
+        from sparsify_clip_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
+
     logger = RunLogger(
         project=config.project_name,
         run_name=config.run_name,

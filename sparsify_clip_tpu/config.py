@@ -93,6 +93,9 @@ class ExperimentConfig:
     log_backend: str = "auto"
     log_dir: str = "./logs"
     checkpoint_dir: str = "./models"
+    # NaN debugging: jax_debug_nans inside jit (the reference has no
+    # sanitizers; SURVEY.md §5).
+    debug_nans: bool = False
     # Skip t-SNE/UMAP/PCA embedding plots (reference always plots,
     # sparsify_clip.py:599-620; host-side only).
     plot_embeddings: bool = False

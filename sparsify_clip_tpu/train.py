@@ -270,13 +270,17 @@ def run_training(
     matching sparsify_clip.py:739-740); ``checkpoint_fn`` fires every
     ``save_checkpoint_every_n_epochs``.
     """
+    from sparsify_clip_tpu.utils.profiling import ThroughputMeter
+
     config = setup.config
     state = setup.state
     if eval_fn is not None:
         eval_fn(state)  # pre-training eval (sparsify_clip.py:740)
 
+    meter = ThroughputMeter()
     t0 = time.time()
     for epoch in range(start_epoch, start_epoch + config.epochs):
+        meter.start()
         for batch in train_batches(epoch):
             # device batch = array fields only (loaders also carry the
             # raw caption strings for debugging/roberta-style losses)
@@ -285,7 +289,15 @@ def run_training(
             )
             state, metrics = setup.train_step(state, batch)
             if log_fn is not None:
+                # float() reads fence the step — honest pacing + NaNs surface here
                 log_fn({k: float(v) for k, v in metrics.items()})
+            meter.step(config.batch_size)
+        if log_fn is not None:
+            log_fn({
+                "pairs_per_sec": meter.pairs_per_sec,
+                "pairs_per_sec_per_chip": meter.pairs_per_sec_per_chip,
+                "step_time_ms": meter.step_time_ms,
+            })
         if eval_fn is not None:
             eval_fn(state)
         if (epoch + 1) % config.save_checkpoint_every_n_epochs == 0:
