@@ -89,6 +89,9 @@ class ExperimentConfig:
     remat: bool = False
     # Optional path to the real CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz).
     bpe_vocab_path: Optional[str] = None
+    # Tokenizer backend: "python" (golden; full Unicode), "native" (C++
+    # core, ASCII-exact, faster host path), "auto" (native if it builds).
+    tokenizer: str = "python"
     # Logging backend: "jsonl" (always available) and/or "wandb" when installed.
     log_backend: str = "auto"
     log_dir: str = "./logs"

@@ -24,10 +24,22 @@ from sparsify_clip_tpu.data.synthetic import SyntheticCaptions
 from sparsify_clip_tpu.text import get_tokenizer
 
 
+def _select_tokenizer(config: ExperimentConfig):
+    if config.tokenizer in ("native", "auto"):
+        try:
+            from sparsify_clip_tpu.text.native import NativeCLIPTokenizer
+
+            return NativeCLIPTokenizer(merges_path=config.bpe_vocab_path)
+        except (RuntimeError, OSError):
+            if config.tokenizer == "native":
+                raise
+    return get_tokenizer(config.model, bpe_path=config.bpe_vocab_path)
+
+
 def dataset_loader(
     config: ExperimentConfig, image_size: int = 224, num_threads: int = 4
 ) -> Tuple[DataLoader, DataLoader]:
-    tokenizer = get_tokenizer(config.model, bpe_path=config.bpe_vocab_path)
+    tokenizer = _select_tokenizer(config)
 
     if config.dataset == "synthetic":
         n_train = 2048 if config.num_train_samples == -1 else config.num_train_samples

@@ -54,19 +54,22 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 class MultiHeadAttention(nn.Module):
     """Self-attention with a fused qkv projection (CLIP's in_proj layout).
 
-    ``mask`` is an additive fp32 (L, L) bias (e.g. causal −inf upper
-    triangle for the text tower).
+    The attention core (scores → fp32 softmax → context) runs as a
+    fused Pallas kernel on TPU — the packed (B, L, 3W) qkv never gets
+    re-laid-out into padded (B, L, H, 64) HBM intermediates — and as
+    the equivalent einsum elsewhere
+    (:func:`sparsify_clip_tpu.ops.pallas_attention.attention_core`).
     """
 
     width: int
     heads: int
     dtype: Dtype = jnp.float32
+    causal: bool = False
+    fused: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        b, l, w = x.shape
-        head_dim = self.width // self.heads
-        scale = head_dim ** -0.5
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sparsify_clip_tpu.ops.pallas_attention import attention_core
 
         qkv = nn.Dense(
             3 * self.width,
@@ -74,20 +77,9 @@ class MultiHeadAttention(nn.Module):
             kernel_init=nn.initializers.normal(self.width ** -0.5),
             name="in_proj",
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads_of(t):
-            return t.reshape(b, l, self.heads, head_dim)
-
-        q, k, v = heads_of(q), heads_of(k), heads_of(v)
-        # fp32 logits + softmax for stability in bf16 runs.
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if mask is not None:
-            scores = scores + mask.astype(jnp.float32)
-        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, l, self.width)
+        out = attention_core(
+            qkv, self.heads, causal=self.causal, use_pallas=self.fused
+        ).astype(self.dtype)
         return nn.Dense(
             self.width,
             dtype=self.dtype,
@@ -126,12 +118,14 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+    causal: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x + MultiHeadAttention(
-            self.width, self.heads, dtype=self.dtype, name="attn"
-        )(LayerNorm(name="ln_1")(x), mask)
+            self.width, self.heads, dtype=self.dtype, causal=self.causal,
+            name="attn",
+        )(LayerNorm(name="ln_1")(x))
         x = x + MLP(self.width, dtype=self.dtype, act=self.act, name="mlp")(
             LayerNorm(name="ln_2")(x)
         )
@@ -144,13 +138,15 @@ class Transformer(nn.Module):
     heads: int
     dtype: Dtype = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+    # Causal (autoregressive) attention — the text tower's mask.
+    causal: bool = False
     # Rematerialize each block in the backward pass.  The fp32 attention
     # scores ((B, H, L, L) per layer) otherwise dominate HBM at training
     # time — on a 16G v5e chip, bs1024 ViT-B/32 OOMs without this.
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         block_cls = ResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(ResidualAttentionBlock)
@@ -159,8 +155,8 @@ class Transformer(nn.Module):
         for i in range(self.layers):
             x = block_cls(
                 self.width, self.heads, dtype=self.dtype, act=self.act,
-                name=f"resblock_{i}",
-            )(x, mask)
+                causal=self.causal, name=f"resblock_{i}",
+            )(x)
         return x
 
 

@@ -15,11 +15,7 @@ from typing import Any, Callable
 import flax.linen as nn
 import jax.numpy as jnp
 
-from sparsify_clip_tpu.models.layers import (
-    LayerNorm,
-    Transformer,
-    causal_mask,
-)
+from sparsify_clip_tpu.models.layers import LayerNorm, Transformer
 
 
 class TextTransformer(nn.Module):
@@ -53,8 +49,8 @@ class TextTransformer(nn.Module):
         x = x + positional_embedding[:l].astype(self.dtype)
         x = Transformer(
             self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
-            remat=self.remat, name="transformer",
-        )(x, causal_mask(l))
+            causal=True, remat=self.remat, name="transformer",
+        )(x)
         x = LayerNorm(name="ln_final")(x)
 
         # Pool at the EOT token: argmax works because EOT is the highest

@@ -67,6 +67,20 @@ class NativeCLIPTokenizer:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        # The C++ core reads plain-text merges; gunzip the canonical
+        # bpe_simple_vocab_16e6.txt.gz to a temp file transparently.
+        if merges_path and merges_path.endswith(".gz") and os.path.exists(merges_path):
+            import gzip
+            import tempfile
+
+            with gzip.open(merges_path, "rt", encoding="utf-8") as fh:
+                data = fh.read()
+            tmp = tempfile.NamedTemporaryFile(
+                "w", suffix=".txt", delete=False, encoding="utf-8"
+            )
+            tmp.write(data)
+            tmp.close()
+            merges_path = tmp.name
         merges = (merges_path or "").encode()
         self._handle = self._lib.clip_bpe_create(merges)
         if not self._handle:

@@ -292,6 +292,14 @@ def run_training(
                 # float() reads fence the step — honest pacing + NaNs surface here
                 log_fn({k: float(v) for k, v in metrics.items()})
             meter.step(config.batch_size)
+            # mid-epoch eval cadence (the reference's commented-out
+            # every-N-batches eval, sparsify_clip.py:952-954)
+            if (
+                eval_fn is not None
+                and config.eval_every_n_steps > 0
+                and int(state.step) % config.eval_every_n_steps == 0
+            ):
+                eval_fn(state)
         if log_fn is not None:
             log_fn({
                 "pairs_per_sec": meter.pairs_per_sec,

@@ -1,0 +1,85 @@
+"""Fused Pallas attention vs the einsum path (values + grads),
+interpreter mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from sparsify_clip_tpu.ops.pallas_attention import attention_core, mha_pallas
+
+RNG = np.random.default_rng(13)
+
+
+def _qkv(b, l, w):
+    return jnp.asarray(RNG.standard_normal((b, l, 3 * w)).astype(np.float32) * 0.3)
+
+
+def _einsum_ref(qkv, heads, causal):
+    b, l, w3 = qkv.shape
+    width = w3 // 3
+    d = width // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, l, heads, d)
+    k = k.reshape(b, l, heads, d)
+    v = v.reshape(b, l, heads, d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * (
+        d ** -0.5
+    )
+    if causal:
+        s = s + jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, l, width)
+
+
+@pytest.mark.parametrize(
+    "b,l,w,heads,causal",
+    [
+        (4, 50, 96, 12, False),   # ViT-like (50 tokens, head_dim 8)
+        (4, 77, 64, 8, True),     # text-like (77 tokens, causal)
+        (2, 16, 32, 2, False),
+    ],
+)
+def test_forward_matches_einsum(b, l, w, heads, causal):
+    qkv = _qkv(b, l, w)
+    want = np.asarray(_einsum_ref(qkv, heads, causal))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(mha_pallas(qkv, heads, causal))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_grads_match_einsum(causal):
+    qkv = _qkv(2, 20, 32)
+    heads = 4
+
+    def loss_ref(x):
+        return jnp.sum(jnp.square(_einsum_ref(x, heads, causal)))
+
+    want = np.asarray(jax.grad(loss_ref)(qkv))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            jax.grad(lambda x: jnp.sum(jnp.square(mha_pallas(x, heads, causal))))(qkv)
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_core_cpu_fallback_matches():
+    qkv = _qkv(2, 10, 16)
+    got = np.asarray(attention_core(qkv, heads=2, causal=True))
+    want = np.asarray(_einsum_ref(qkv, 2, True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_causal_masks_future_tokens():
+    """Changing a future position must not affect earlier outputs."""
+    qkv = np.asarray(_qkv(1, 8, 16))
+    heads = 2
+    with pltpu.force_tpu_interpret_mode():
+        base = np.asarray(mha_pallas(jnp.asarray(qkv), heads, True))
+        mod = qkv.copy()
+        mod[0, 7, :] += 5.0
+        changed = np.asarray(mha_pallas(jnp.asarray(mod), heads, True))
+    np.testing.assert_allclose(base[0, :7], changed[0, :7], atol=1e-6)
+    assert np.abs(base[0, 7] - changed[0, 7]).max() > 1e-4
