@@ -68,14 +68,32 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
 
     start_epoch = 0
     if config.resume_requested:
-        print(f"Resuming from {config.resume_checkpoint} at epoch {config.resume_epoch}")
-        # weights-only resume — reference semantics (sparsify_clip.py:719-724):
-        # optimizer/schedule/temperature restart from scratch.
-        params = checkpoints.load_weights(
-            setup.state.params, str(config.resume_checkpoint)
-        )
-        setup.state = setup.state.replace(params=params)
-        start_epoch = config.resume_epoch
+        resume_path = str(config.resume_checkpoint)
+        if resume_path == "auto" or os.path.isdir(resume_path):
+            # exact resume: full train state incl. optimizer moments,
+            # schedule position and temperature (beyond the reference's
+            # weights-only semantics, SURVEY.md §3.4)
+            target = (
+                os.path.join(config.checkpoint_dir, config.run_name)
+                if resume_path == "auto"
+                else resume_path
+            )
+            import jax as _jax
+            import numpy as _np
+
+            setup.state = checkpoints.restore_full(
+                target, _jax.tree_util.tree_map(_np.asarray, setup.state)
+            )
+            start_epoch = int(setup.state.step) // len(train_loader)
+            print(f"Resumed full state from {target} at step {int(setup.state.step)}")
+        else:
+            # weights-only resume — reference semantics
+            # (sparsify_clip.py:719-724): optimizer/schedule/temperature
+            # restart from scratch.
+            print(f"Resuming weights from {resume_path} at epoch {config.resume_epoch}")
+            params = checkpoints.load_weights(setup.state.params, resume_path)
+            setup.state = setup.state.replace(params=params)
+            start_epoch = config.resume_epoch
 
     eval_batches = list(test_loader.epoch(0))
     last_eval: Dict[str, float] = {}
