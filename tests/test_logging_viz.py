@@ -1,0 +1,72 @@
+"""Logging backend (JSONL schema incl. the reference's typo key) and the
+PCA sphere plot."""
+
+import json
+import os
+
+import numpy as np
+
+from sparsify_clip_tpu.logging import RunLogger
+from sparsify_clip_tpu.viz import visualize_embeddings
+
+
+def test_jsonl_records_and_schema(tmp_path):
+    logger = RunLogger(
+        project="p", run_name="r1", config={"a": 1},
+        log_dir=str(tmp_path), backend="jsonl",
+    )
+    logger.log_train_step(
+        {"train_loss": 1.5, "learning_rate": 1e-4, "beta": 0.5, "alpha": 1.0,
+         "temperature": 0.1},
+        temperature_learnable=False,
+    )
+    logger.log_train_step(
+        {"train_loss": 1.2, "learning_rate": 1e-4, "beta": 0.0, "alpha": 0.0,
+         "temperature": 0.09},
+        temperature_learnable=True,
+    )
+    logger.log({"backward_r1": 12.5})
+    logger.finish()
+
+    records = [json.loads(l) for l in open(logger.path)]
+    events = [r.get("event") for r in records]
+    assert "run_start" in events and "run_end" in events
+    fixed = next(r for r in records if "beta" in r)
+    # fixed-temperature runs log beta/alpha (sparsify_clip.py:948-951)
+    assert {"train_loss", "learning_rate", "beta", "alpha"} <= set(fixed)
+    learnable = next(
+        r for r in records if "constrantive_temperature_learnable" in r
+    )
+    # the reference's typo'd key, preserved verbatim (sparsify_clip.py:945)
+    assert learnable["constrantive_temperature_learnable"] == 0.09
+
+
+def test_wandb_backend_falls_back(tmp_path):
+    # wandb is not installed here; "auto" must degrade to JSONL silently
+    logger = RunLogger(project="p", run_name="r2", log_dir=str(tmp_path), backend="auto")
+    logger.log({"x": 1})
+    logger.finish()
+    assert os.path.exists(logger.path)
+
+
+def test_pca_sphere_plot(tmp_path):
+    rng = np.random.default_rng(0)
+    txt = rng.standard_normal((64, 16)).astype(np.float32)
+    img = rng.standard_normal((64, 16)).astype(np.float32)
+    path = visualize_embeddings(
+        txt, img, sample_size=32, method="pca",
+        save_path=str(tmp_path / "pca.png"),
+    )
+    assert path is not None and os.path.getsize(path) > 1000
+
+
+def test_tsne_umap_gated(tmp_path):
+    # openTSNE/umap aren't installed — must skip gracefully, not crash
+    # (openTSNE is missing from the reference's own environment.yml too)
+    rng = np.random.default_rng(0)
+    txt = rng.standard_normal((16, 8)).astype(np.float32)
+    for method in ("tsne", "umap"):
+        path = visualize_embeddings(
+            txt, txt, method=method, save_path=str(tmp_path / f"{method}.png")
+        )
+        assert path is None
