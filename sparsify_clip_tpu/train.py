@@ -33,7 +33,7 @@ import optax
 
 from sparsify_clip_tpu.config import ExperimentConfig
 from sparsify_clip_tpu.losses import LossContext, make_loss_fn
-from sparsify_clip_tpu.models import CLIP, MODEL_REGISTRY, create_model
+from sparsify_clip_tpu.models import CLIP, create_model
 from sparsify_clip_tpu.parallel.mesh import (
     DATA_AXIS,
     create_mesh,
