@@ -29,6 +29,24 @@ def set_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
+def apply_smoke_overrides(config: ExperimentConfig) -> ExperimentConfig:
+    """Shrink any experiment config into a minutes-scale end-to-end
+    validation run: synthetic data, 1 epoch, small sample counts.  The
+    loss stack, schedules, model and metric paths are untouched, so a
+    reference YAML exercises its full experiment wiring hermetically."""
+    import dataclasses
+
+    return dataclasses.replace(
+        config,
+        dataset="synthetic",
+        num_train_samples=2 * config.batch_size,
+        num_test_samples=config.batch_size,
+        epochs=1,
+        run_name=f"{config.run_name}-smoke",
+        plot_embeddings=False,
+    )
+
+
 def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str, float]:
     """Full experiment: data → train w/ per-epoch eval → final eval/save
     (reference: main(), sparsify_clip.py:1084-1121)."""
@@ -172,13 +190,23 @@ def cli(argv=None) -> None:
         "--image-size", type=int, default=None,
         help="Override image resolution (e.g. tiny smoke runs)",
     )
+    parser.add_argument(
+        "--smoke", action="store_true",
+        help="Run the config end-to-end on synthetic data for 1 epoch "
+             "(validates an experiment's full wiring in minutes)",
+    )
     args = parser.parse_args(argv)
 
+    def run(config):
+        if args.smoke:
+            config = apply_smoke_overrides(config)
+        main(config, image_size=args.image_size)
+
     if os.path.isfile(args.config):
-        main(load_config(args.config, args.device), image_size=args.image_size)
+        run(load_config(args.config, args.device))
     elif os.path.isdir(args.config):
         for config in load_config_dir(args.config, args.device):
-            main(config, image_size=args.image_size)
+            run(config)
     else:
         parser.error(f"--config path not found: {args.config}")
 

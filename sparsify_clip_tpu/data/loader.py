@@ -102,10 +102,23 @@ class DataLoader:
             try:
                 for idx_block in batches:
                     if stop.is_set():
-                        break
-                    out.put(self._make_batch(idx_block, epoch))
+                        return
+                    item = self._make_batch(idx_block, epoch)
+                    # bounded put that stays responsive to abandonment
+                    while not stop.is_set():
+                        try:
+                            out.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             finally:
-                out.put(None)
+                while True:
+                    try:
+                        out.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

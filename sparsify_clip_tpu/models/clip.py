@@ -57,6 +57,18 @@ MODEL_REGISTRY: Dict[str, CLIPConfig] = {
         name="RN101", embed_dim=512, vision_kind="resnet",
         vision_width=64, vision_layers=(3, 4, 23, 3), vision_heads=32,
     ),
+    # EfficientNet-style scaled ResNets (CLIP RN50x4/x16 conventions:
+    # width/resolution scaled together).
+    "RN50x4": CLIPConfig(
+        name="RN50x4", embed_dim=640, vision_kind="resnet", image_size=288,
+        vision_width=80, vision_layers=(4, 6, 10, 6), vision_heads=40,
+        text_width=640, text_heads=10, text_layers=12,
+    ),
+    "RN50x16": CLIPConfig(
+        name="RN50x16", embed_dim=768, vision_kind="resnet", image_size=384,
+        vision_width=96, vision_layers=(6, 8, 18, 8), vision_heads=48,
+        text_width=768, text_heads=12, text_layers=12,
+    ),
     "ViT-B-32": CLIPConfig(
         name="ViT-B-32", embed_dim=512, vision_kind="vit",
         vision_width=768, vision_layers=(12,), vision_heads=12, patch_size=32,
