@@ -44,6 +44,7 @@ def apply_smoke_overrides(config: ExperimentConfig) -> ExperimentConfig:
         epochs=1,
         run_name=f"{config.run_name}-smoke",
         plot_embeddings=False,
+        resume_checkpoint=False,  # hermetic: never read external state
     )
 
 
@@ -75,8 +76,15 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
     print("Config:", config.to_dict())
     print("Experiment:", config.run_name)
 
+    from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
+
+    if image_size is None:
+        # each registry entry carries its native resolution (RN50x4 is
+        # 288px, RN50x16 384px, everything else 224px)
+        image_size = MODEL_REGISTRY[config.model].image_size
+
     print("\nLoading the dataset...")
-    train_loader, test_loader = dataset_loader(config, image_size=image_size or 224)
+    train_loader, test_loader = dataset_loader(config, image_size=image_size)
     print("Dataset loaded.\n")
 
     setup = create_train_setup(

@@ -97,28 +97,30 @@ class DataLoader:
 
         out: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error: list = []  # producer exception, re-raised in the consumer
+
+        def _put(item) -> bool:
+            # bounded put that stays responsive to abandonment
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for idx_block in batches:
                     if stop.is_set():
                         return
-                    item = self._make_batch(idx_block, epoch)
-                    # bounded put that stays responsive to abandonment
-                    while not stop.is_set():
-                        try:
-                            out.put(item, timeout=0.1)
-                            break
-                        except queue.Full:
-                            continue
+                    if not _put(self._make_batch(idx_block, epoch)):
+                        return
+            except Exception as exc:  # decode/tokenize failures must
+                error.append(exc)     # surface, not truncate the epoch
             finally:
-                while True:
-                    try:
-                        out.put(None, timeout=0.1)
-                        break
-                    except queue.Full:
-                        if stop.is_set():
-                            break
+                # sentinel; skipped when the consumer already stopped
+                _put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -128,6 +130,10 @@ class DataLoader:
                 if batch is None:
                     break
                 yield batch
+            if error:
+                raise RuntimeError(
+                    f"data loader worker failed at epoch {epoch}"
+                ) from error[0]
         finally:
             stop.set()
             # drain so the producer can exit

@@ -123,3 +123,24 @@ def test_dataset_loader_synthetic():
     assert len(train_loader) == 2
     batch = next(iter(train_loader))
     assert batch["tokens"].max() == 49407  # eot present
+
+
+def test_loader_propagates_worker_errors():
+    class BrokenDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise OSError("corrupt image")
+            from sparsify_clip_tpu.data.synthetic import SyntheticCaptions
+
+            return SyntheticCaptions(8, seed=0, image_size=32)[i]
+
+    tok = get_tokenizer("RN50")
+    loader = DataLoader(
+        BrokenDataset(), batch_size=4, tokenizer=tok, train=False,
+        shuffle=False, image_size=32,
+    )
+    with pytest.raises(RuntimeError, match="data loader worker failed"):
+        list(loader.epoch(0))

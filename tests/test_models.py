@@ -111,19 +111,22 @@ def test_registry_contains_reference_surface():
     assert MODEL_REGISTRY["RN50"].vision_layers == (3, 4, 6, 3)
 
 
-@pytest.mark.parametrize("name,want_embed", [("RN50", 1024), ("ViT-B-32", 512)])
+@pytest.mark.parametrize(
+    "name,want_embed",
+    [("RN50", 1024), ("ViT-B-32", 512), ("RN50x4", 640), ("RN50x16", 768),
+     ("RN101", 512), ("ViT-B-16", 512), ("ViT-L-14", 768)],
+)
 def test_full_model_shapes_via_eval_shape(name, want_embed):
     cfg = MODEL_REGISTRY[name]
     model = CLIP(cfg=cfg, dtype=jnp.bfloat16)
-    images = jax.ShapeDtypeStruct((4, 224, 224, 3), jnp.float32)
-    tokens = jax.ShapeDtypeStruct((4, 77), jnp.int32)
+    size = cfg.image_size  # native resolution (RN50x4=288, RN50x16=384)
 
     variables_shape = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((4, 224, 224, 3)),
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((4, size, size, 3)),
                            jnp.zeros((4, 77), jnp.int32), train=False)
     )
     out_shape = jax.eval_shape(
-        lambda v: model.apply(v, jnp.zeros((4, 224, 224, 3)),
+        lambda v: model.apply(v, jnp.zeros((4, size, size, 3)),
                               jnp.zeros((4, 77), jnp.int32), train=False),
         variables_shape,
     )
@@ -134,9 +137,12 @@ def test_full_model_shapes_via_eval_shape(name, want_embed):
         int(np.prod(l.shape))
         for l in jax.tree_util.tree_leaves(variables_shape["params"])
     )
-    # CLIP RN50 ≈ 102M params; ViT-B/32 ≈ 151M (open_clip counts).
-    want = {"RN50": 102_000_000, "ViT-B-32": 151_300_000}[name]
-    assert abs(n_params - want) / want < 0.03, f"{name}: {n_params:,} params"
+    # open_clip param counts where known; sanity floor otherwise.
+    want = {"RN50": 102_000_000, "ViT-B-32": 151_300_000}.get(name)
+    if want is not None:
+        assert abs(n_params - want) / want < 0.03, f"{name}: {n_params:,} params"
+    else:
+        assert n_params > 100_000_000, f"{name}: {n_params:,} params"
 
 
 def test_unknown_model_raises():
