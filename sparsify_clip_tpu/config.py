@@ -87,6 +87,14 @@ class ExperimentConfig:
     # required for per-chip batches >= 512 on 16G HBM.  The reference
     # batch (256/chip) fits without it.
     remat: bool = False
+    # Device-side augmentation: the loader ships fixed-size uint8 images
+    # (4x smaller transfers) and RandomResizedCrop/flip/normalize run
+    # inside the train step's jit (ops/image.py).  Host-side transforms
+    # (reference behavior) when False.
+    device_augment: bool = False
+    # Staging resolution for device_augment uint8 images (host squash-
+    # resizes decoded JPEGs to this size before batching).
+    device_augment_staging: int = 256
     # Optional path to the real CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz).
     bpe_vocab_path: Optional[str] = None
     # Tokenizer backend: "python" (golden; full Unicode), "native" (C++

@@ -42,7 +42,11 @@ class DataLoader:
         num_threads: int = 4,
         prefetch: int = 2,
         image_size: int = 224,
+        raw_uint8: bool = False,
     ):
+        """``raw_uint8``: skip host augmentation — squash-resize decoded
+        images to ``image_size`` and ship uint8 (the device-augment
+        path; crop/flip/normalize then run on-device via ops/image.py)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -53,6 +57,7 @@ class DataLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.image_size = image_size
+        self.raw_uint8 = raw_uint8
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -66,7 +71,15 @@ class DataLoader:
             np.random.SeedSequence([self.seed, epoch, index, int(self.train)])
         )
         img, captions = self.dataset[index]
-        if self.train:
+        if self.raw_uint8:
+            import numpy as _np
+            from PIL import Image as _Image
+
+            resized = img.convert("RGB").resize(
+                (self.image_size, self.image_size), _Image.BILINEAR
+            )
+            arr = _np.asarray(resized, dtype=_np.uint8)
+        elif self.train:
             arr = train_transform(img, rng, self.image_size)
         else:
             arr = test_transform(img, self.image_size)
@@ -76,7 +89,8 @@ class DataLoader:
 
     def _make_batch(self, indices: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
         items = [self._load_item(int(i), epoch) for i in indices]
-        images = np.stack([it[0] for it in items]).astype(np.float32)
+        dtype = np.uint8 if self.raw_uint8 else np.float32
+        images = np.stack([it[0] for it in items]).astype(dtype)
         captions = [it[1] for it in items]
         tokens = self.tokenizer(captions)
         return {"images": images, "tokens": tokens, "captions": captions}

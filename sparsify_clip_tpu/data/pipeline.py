@@ -61,11 +61,20 @@ def dataset_loader(
         if config.num_test_samples != -1:
             test_ds = Subset(test_ds, range(config.num_test_samples))
 
-    train_loader = DataLoader(
-        train_ds, config.batch_size, tokenizer, train=True, seed=config.seed,
-        shuffle=True, drop_last=True, num_threads=num_threads,
-        image_size=image_size,
-    )
+    if config.device_augment:
+        # ship uint8 staging images; crop/flip/normalize happen on
+        # device inside the train step (ops/image.py)
+        train_loader = DataLoader(
+            train_ds, config.batch_size, tokenizer, train=True, seed=config.seed,
+            shuffle=True, drop_last=True, num_threads=num_threads,
+            image_size=config.device_augment_staging, raw_uint8=True,
+        )
+    else:
+        train_loader = DataLoader(
+            train_ds, config.batch_size, tokenizer, train=True, seed=config.seed,
+            shuffle=True, drop_last=True, num_threads=num_threads,
+            image_size=image_size,
+        )
     test_loader = DataLoader(
         test_ds, config.batch_size, tokenizer, train=False, seed=config.seed,
         shuffle=False, drop_last=True, num_threads=num_threads,

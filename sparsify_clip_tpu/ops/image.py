@@ -30,8 +30,12 @@ import jax.numpy as jnp
 
 from sparsify_clip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
 
+import math
+
 SCALE_RANGE = (0.08, 1.0)
-LOG_RATIO_RANGE = (jnp.log(3.0 / 4.0), jnp.log(4.0 / 3.0))
+# plain python floats: module-level jnp ops would capture tracers if
+# this module is first imported inside a traced function
+LOG_RATIO_RANGE = (math.log(3.0 / 4.0), math.log(4.0 / 3.0))
 N_ATTEMPTS = 10
 
 
@@ -106,6 +110,18 @@ def _crop_resize_one(
     return jax.lax.cond(flip, lambda o: o[:, ::-1, :], lambda o: o, out)
 
 
+def augment_batch_core(
+    images_u8: jnp.ndarray, key: jax.Array, size: int = 224
+) -> jnp.ndarray:
+    """Traceable core of :func:`augment_batch` — call this from inside
+    an enclosing jit (e.g. the train step with ``device_augment``)."""
+    b = images_u8.shape[0]
+    images = images_u8.astype(jnp.float32) / 255.0
+    keys = jax.random.split(key, b)
+    out = jax.vmap(lambda im, k: _crop_resize_one(im, k, size))(images, keys)
+    return normalize_batch(out)
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def augment_batch(
     images_u8: jnp.ndarray, key: jax.Array, size: int = 224
@@ -115,11 +131,7 @@ def augment_batch(
     The train-side device twin of
     :func:`sparsify_clip_tpu.data.transforms.train_transform`.
     """
-    b = images_u8.shape[0]
-    images = images_u8.astype(jnp.float32) / 255.0
-    keys = jax.random.split(key, b)
-    out = jax.vmap(lambda im, k: _crop_resize_one(im, k, size))(images, keys)
-    return normalize_batch(out)
+    return augment_batch_core(images_u8, key, size)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))

@@ -99,6 +99,7 @@ def make_train_step(
     lr_schedule: Callable,
     state_shards=None,
     batch_shards=None,
+    image_size: Optional[int] = None,
 ):
     """Build the jit'ed train step for this experiment's loss_type.
 
@@ -109,6 +110,11 @@ def make_train_step(
     loss_core = make_loss_fn(config.loss_type, use_pallas=config.use_pallas)
     learnable_temp = config.anchor_temperature_learnable
     has_bn = model.cfg.vision_kind == "resnet"
+    target_size = image_size or model.cfg.image_size
+    if config.device_augment:
+        # import OUTSIDE the traced step (module-level jnp constants
+        # would otherwise capture tracers on first import)
+        from sparsify_clip_tpu.ops.image import augment_batch_core
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         # Reference counts batches 1-based for β/α (sparsify_clip.py:755).
@@ -123,18 +129,26 @@ def make_train_step(
             config.alpha_warmup_epoch, config.alpha_increment_epoch,
         )
 
+        if config.device_augment:
+            # crop/flip/normalize on device from uint8 staging images
+            aug_key, new_rng = jax.random.split(state.rng)
+            images = augment_batch_core(batch["images"], aug_key, target_size)
+        else:
+            images = batch["images"]
+            new_rng = state.rng
+
         def loss_of(trainables):
             variables = {"params": trainables["model"]}
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
                 (img, txt), mutated = model.apply(
-                    variables, batch["images"], batch["tokens"],
+                    variables, images, batch["tokens"],
                     train=True, mutable=["batch_stats"],
                 )
                 new_bn = mutated["batch_stats"]
             else:
                 img, txt = model.apply(
-                    variables, batch["images"], batch["tokens"], train=True
+                    variables, images, batch["tokens"], train=True
                 )
                 new_bn = state.batch_stats
             img = l2_normalize(img)
@@ -162,6 +176,7 @@ def make_train_step(
                 new_trainables["temperature"] if learnable_temp else state.temperature
             ),
             opt_state=new_opt_state,
+            rng=new_rng,
         )
         metrics = {
             "train_loss": loss,
@@ -242,6 +257,7 @@ def create_train_setup(
         batch_shards=jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(DATA_AXIS)
         ),
+        image_size=image_size,
     )
     return TrainSetup(
         config=config,
