@@ -96,6 +96,56 @@ def load_weights(params_template: Any, path: str) -> Any:
 
 
 # ------------------------------------------------------- torch interop
+def export_torch_text_tower(params: Any) -> Dict[str, "np.ndarray"]:
+    """Map this framework's text-tower params to open_clip/CLIP torch
+    ``state_dict`` naming (inverse of :func:`load_torch_clip_state_dict`
+    for the text side): dense kernels transposed back to (out, in).
+
+    Enables loading a TPU-trained text tower into a torch CLIP for
+    cross-framework numerics checks.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out: Dict[str, np.ndarray] = {}
+    for key_path, leaf in flat:
+        path = "/".join(getattr(k, "key", getattr(k, "name", str(k))) for k in key_path)
+        arr = np.asarray(leaf)
+        if not path.startswith("text/"):
+            continue
+        p = path[len("text/"):]
+        if p == "token_embedding":
+            out["token_embedding.weight"] = arr
+        elif p == "positional_embedding":
+            out["positional_embedding"] = arr
+        elif p == "text_projection":
+            out["text_projection"] = arr
+        elif p.startswith("ln_final/ln/"):
+            kind = "weight" if p.endswith("scale") else "bias"
+            out[f"ln_final.{kind}"] = arr
+        elif p.startswith("transformer/resblock_"):
+            rest = p[len("transformer/resblock_"):]
+            n, sub = rest.split("/", 1)
+            prefix = f"transformer.resblocks.{n}"
+            if sub.startswith(("ln_1/ln/", "ln_2/ln/")):
+                ln = sub.split("/")[0]
+                kind = "weight" if sub.endswith("scale") else "bias"
+                out[f"{prefix}.{ln}.{kind}"] = arr
+            elif sub == "attn/in_proj/kernel":
+                out[f"{prefix}.attn.in_proj_weight"] = arr.T
+            elif sub == "attn/in_proj/bias":
+                out[f"{prefix}.attn.in_proj_bias"] = arr
+            elif sub == "attn/out_proj/kernel":
+                out[f"{prefix}.attn.out_proj.weight"] = arr.T
+            elif sub == "attn/out_proj/bias":
+                out[f"{prefix}.attn.out_proj.bias"] = arr
+            elif sub.startswith("mlp/"):
+                name = sub.split("/")[1]  # c_fc | c_proj
+                if sub.endswith("kernel"):
+                    out[f"{prefix}.mlp.{name}.weight"] = arr.T
+                else:
+                    out[f"{prefix}.mlp.{name}.bias"] = arr
+    return out
+
+
 def load_torch_clip_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict[str, Any]:
     """Map an open_clip/OpenAI CLIP torch ``state_dict`` (tensors or
     ndarrays; ``module.``-prefixed keys accepted — the reference saves
