@@ -100,6 +100,9 @@ class ExperimentConfig:
     # Tokenizer backend: "python" (golden; full Unicode), "native" (C++
     # core, ASCII-exact, faster host path), "auto" (native if it builds).
     tokenizer: str = "python"
+    # Data-loader backend: "threads" (default) or "grain"
+    # (deterministic multi-worker pipelines via google/grain).
+    loader_backend: str = "threads"
     # Logging backend: "jsonl" (always available) and/or "wandb" when installed.
     log_backend: str = "auto"
     log_dir: str = "./logs"

@@ -61,6 +61,19 @@ def dataset_loader(
         if config.num_test_samples != -1:
             test_ds = Subset(test_ds, range(config.num_test_samples))
 
+    if config.loader_backend == "grain":
+        from sparsify_clip_tpu.data.grain_loader import GrainDataLoader
+
+        train_loader = GrainDataLoader(
+            train_ds, config.batch_size, tokenizer, train=True, seed=config.seed,
+            shuffle=True, drop_last=True, image_size=image_size,
+        )
+        test_loader = GrainDataLoader(
+            test_ds, config.batch_size, tokenizer, train=False, seed=config.seed,
+            shuffle=False, drop_last=True, image_size=image_size,
+        )
+        return train_loader, test_loader
+
     if config.device_augment:
         # ship uint8 staging images; crop/flip/normalize happen on
         # device inside the train step (ops/image.py)

@@ -144,3 +144,24 @@ def test_loader_propagates_worker_errors():
     )
     with pytest.raises(RuntimeError, match="data loader worker failed"):
         list(loader.epoch(0))
+
+
+def test_grain_loader_backend():
+    from sparsify_clip_tpu.data.grain_loader import GRAIN_AVAILABLE
+
+    if not GRAIN_AVAILABLE:
+        pytest.skip("grain not installed")
+    cfg = ExperimentConfig.from_dict({
+        "learning_rate": 1e-4, "batch_size": 8, "dataset": "synthetic",
+        "num_train_samples": 16, "num_test_samples": 8,
+        "loader_backend": "grain",
+    })
+    train_loader, test_loader = dataset_loader(cfg, image_size=32)
+    assert len(train_loader) == 2
+    batch = next(iter(train_loader))
+    assert batch["images"].shape == (8, 32, 32, 3)
+    assert batch["tokens"].shape == (8, 77)
+    # deterministic per (seed, epoch) like the thread loader
+    a = next(iter(train_loader.epoch(0)))
+    b = next(iter(train_loader.epoch(0)))
+    np.testing.assert_array_equal(a["images"], b["images"])
