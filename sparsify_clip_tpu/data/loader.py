@@ -58,6 +58,10 @@ class DataLoader:
         self.prefetch = prefetch
         self.image_size = image_size
         self.raw_uint8 = raw_uint8
+        if self.num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -88,7 +92,14 @@ class DataLoader:
         return arr, caption
 
     def _make_batch(self, indices: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
-        items = [self._load_item(int(i), epoch) for i in indices]
+        if self.num_threads > 1 and len(indices) > 1:
+            # PIL decode/resize and numpy transforms release the GIL —
+            # per-item fan-out actually parallelizes on multi-core hosts
+            items = list(
+                self._pool.map(lambda i: self._load_item(int(i), epoch), indices)
+            )
+        else:
+            items = [self._load_item(int(i), epoch) for i in indices]
         dtype = np.uint8 if self.raw_uint8 else np.float32
         images = np.stack([it[0] for it in items]).astype(dtype)
         captions = [it[1] for it in items]
