@@ -138,6 +138,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
         metrics = evaluate_model(
             model, variables, eval_batches,
             plot_embeddings=config.plot_embeddings, plot_fn=plot_fn,
+            mesh=setup.mesh,
         )
         print("Evaluation Results:", metrics, "\n")
         logger.log(metrics)

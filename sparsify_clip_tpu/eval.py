@@ -137,13 +137,16 @@ def evaluate_model(
     batches: Iterable[Dict[str, np.ndarray]],
     plot_embeddings: bool = False,
     plot_fn: Optional[Callable] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Sweep the eval set, accumulate embeddings, compute the 13 metrics
     (reference: evaluate_model, sparsify_clip.py:534-676).
 
     ``batches`` yields dicts with ``images`` (B,H,W,3) and ``tokens``
     (B,77).  Embeddings accumulate on device unnormalized, matching the
-    reference's CPU accumulation semantics.
+    reference's CPU accumulation semantics.  With a ``mesh``, eval
+    batches shard over the data axis so encoding scales across chips
+    (the similarity/metric block runs on the gathered embeddings).
     """
 
     @jax.jit
@@ -152,12 +155,21 @@ def evaluate_model(
         txt = model.apply(v, tokens, method=model.encode_text)
         return img, txt
 
+    def place(batch):
+        images = jnp.asarray(batch["images"])
+        tokens = jnp.asarray(batch["tokens"])
+        if mesh is not None:
+            from sparsify_clip_tpu.parallel.mesh import shard_batch
+
+            sharded = shard_batch({"images": images, "tokens": tokens}, mesh)
+            return sharded["images"], sharded["tokens"]
+        return images, tokens
+
     img_chunks: List[jnp.ndarray] = []
     txt_chunks: List[jnp.ndarray] = []
     for batch in batches:
-        img, txt = encode(
-            variables, jnp.asarray(batch["images"]), jnp.asarray(batch["tokens"])
-        )
+        images, tokens = place(batch)
+        img, txt = encode(variables, images, tokens)
         img_chunks.append(img)
         txt_chunks.append(txt)
     all_img = jnp.concatenate(img_chunks, axis=0)
