@@ -293,16 +293,28 @@ def run_training(
     if eval_fn is not None:
         eval_fn(state)  # pre-training eval (sparsify_clip.py:740)
 
+    def device_batches(epoch: int):
+        """One-step-lookahead device prefetch: the next batch's
+        host→device transfer (jax.device_put is async) overlaps the
+        current step's compute."""
+        pending = None
+        for batch in train_batches(epoch):
+            # device batch = array fields only (loaders also carry the
+            # raw caption strings for debugging/roberta-style losses)
+            nxt = shard_batch(
+                {"images": batch["images"], "tokens": batch["tokens"]}, setup.mesh
+            )
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
     meter = ThroughputMeter()
     t0 = time.time()
     for epoch in range(start_epoch, start_epoch + config.epochs):
         meter.start()
-        for batch in train_batches(epoch):
-            # device batch = array fields only (loaders also carry the
-            # raw caption strings for debugging/roberta-style losses)
-            batch = shard_batch(
-                {"images": batch["images"], "tokens": batch["tokens"]}, setup.mesh
-            )
+        for batch in device_batches(epoch):
             state, metrics = setup.train_step(state, batch)
             if log_fn is not None:
                 # float() reads fence the step — honest pacing + NaNs surface here
