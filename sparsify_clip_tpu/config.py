@@ -87,6 +87,9 @@ class ExperimentConfig:
     # required for per-chip batches >= 512 on 16G HBM.  The reference
     # batch (256/chip) fits without it.
     remat: bool = False
+    # fp32 LayerNorm statistics in the towers (quality default; bf16
+    # measured no faster on v5e — knob retained for experimentation).
+    ln_fp32: bool = True
     # Device-side augmentation: the loader ships fixed-size uint8 images
     # (4x smaller transfers) and RandomResizedCrop/flip/normalize run
     # inside the train step's jit (ops/image.py).  Host-side transforms

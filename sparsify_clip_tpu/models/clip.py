@@ -102,6 +102,9 @@ class CLIP(nn.Module):
     # Per-block rematerialization in the transformer towers (memory for
     # recompute; needed for per-chip batches >= 512 on 16G HBM).
     remat: bool = False
+    # fp32 LayerNorm statistics (quality default; bf16 measured no
+    # faster on v5e — knob retained for experimentation).
+    ln_fp32: bool = True
 
     def setup(self):
         act = quick_gelu if self.cfg.quick_gelu else nn.gelu
@@ -125,6 +128,7 @@ class CLIP(nn.Module):
                 dtype=self.dtype,
                 act=act,
                 remat=self.remat,
+                ln_fp32=self.ln_fp32,
             )
         else:
             raise ValueError(f"Unknown vision_kind {self.cfg.vision_kind}")
@@ -138,6 +142,7 @@ class CLIP(nn.Module):
             dtype=self.dtype,
             act=act,
             remat=self.remat,
+            ln_fp32=self.ln_fp32,
         )
 
     def encode_image(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -160,6 +165,7 @@ def create_model(
     rng: Optional[jax.Array] = None,
     image_size: Optional[int] = None,
     remat: bool = False,
+    ln_fp32: bool = True,
 ):
     """Build a CLIP model + freshly-initialized variables.
 
@@ -172,7 +178,7 @@ def create_model(
     cfg = MODEL_REGISTRY[name]
     if image_size is not None:
         cfg = dataclasses.replace(cfg, image_size=image_size)
-    model = CLIP(cfg=cfg, dtype=dtype, remat=remat)
+    model = CLIP(cfg=cfg, dtype=dtype, remat=remat, ln_fp32=ln_fp32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     dummy_images = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)

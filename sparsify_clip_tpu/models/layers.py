@@ -31,12 +31,18 @@ Dtype = Any
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm computed in fp32 regardless of input dtype."""
+    """LayerNorm computed in fp32 by default (bf16 statistics
+    measurably cost quality in CLIP runs).  ``fp32=False`` exists for
+    experimentation but measured NO speedup on v5e — XLA fuses the
+    dtype conversions into the surrounding reductions for free."""
 
     epsilon: float = 1e-5
+    fp32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if not self.fp32:
+            return nn.LayerNorm(epsilon=self.epsilon, dtype=x.dtype, name="ln")(x)
         orig_dtype = x.dtype
         out = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, name="ln")(
             x.astype(jnp.float32)
@@ -120,15 +126,16 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
     causal: bool = False
+    ln_fp32: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x + MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, causal=self.causal,
             name="attn",
-        )(LayerNorm(name="ln_1")(x))
+        )(LayerNorm(fp32=self.ln_fp32, name="ln_1")(x))
         x = x + MLP(self.width, dtype=self.dtype, act=self.act, name="mlp")(
-            LayerNorm(name="ln_2")(x)
+            LayerNorm(fp32=self.ln_fp32, name="ln_2")(x)
         )
         return x
 
@@ -141,6 +148,7 @@ class Transformer(nn.Module):
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
     # Causal (autoregressive) attention — the text tower's mask.
     causal: bool = False
+    ln_fp32: bool = True
     # Rematerialize each block in the backward pass (memory for
     # recompute).  With the fused attention kernel, ViT-B/32 trains at
     # 1024/chip on 16G HBM without this; enable for larger batches.
@@ -156,7 +164,7 @@ class Transformer(nn.Module):
         for i in range(self.layers):
             x = block_cls(
                 self.width, self.heads, dtype=self.dtype, act=self.act,
-                causal=self.causal, name=f"resblock_{i}",
+                causal=self.causal, ln_fp32=self.ln_fp32, name=f"resblock_{i}",
             )(x)
         return x
 

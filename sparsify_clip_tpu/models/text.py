@@ -28,6 +28,7 @@ class TextTransformer(nn.Module):
     dtype: Any = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
     remat: bool = False
+    ln_fp32: bool = True
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -49,7 +50,7 @@ class TextTransformer(nn.Module):
         x = x + positional_embedding[:l].astype(self.dtype)
         x = Transformer(
             self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
-            causal=True, remat=self.remat, name="transformer",
+            causal=True, remat=self.remat, ln_fp32=self.ln_fp32, name="transformer",
         )(x)
         x = LayerNorm(name="ln_final")(x)
 

@@ -223,7 +223,7 @@ def create_train_setup(
     init_rng, state_rng = jax.random.split(rng)
     model, variables = create_model(
         config.model, dtype=dtype, rng=init_rng, image_size=image_size,
-        remat=config.remat,
+        remat=config.remat, ln_fp32=config.ln_fp32,
     )
 
     optimizer, schedule = build_optimizer(config, total_steps)
