@@ -18,4 +18,30 @@ A ground-up rebuild of the capabilities of ``noostale/sparsify-clip``
 
 __version__ = "0.1.0"
 
-from sparsify_clip_tpu.config import ExperimentConfig, load_config  # noqa: F401
+from sparsify_clip_tpu.config import (  # noqa: F401
+    ExperimentConfig,
+    load_config,
+    load_config_dir,
+)
+from sparsify_clip_tpu.losses import (  # noqa: F401
+    KNOWN_LOSS_TYPES,
+    LossContext,
+    make_loss_fn,
+)
+from sparsify_clip_tpu.models import MODEL_REGISTRY, create_model  # noqa: F401
+from sparsify_clip_tpu.parallel import create_mesh, shard_batch  # noqa: F401
+from sparsify_clip_tpu.text import CLIPTokenizer, get_tokenizer  # noqa: F401
+
+
+def __getattr__(name):
+    # Heavier orchestration entry points resolve lazily so that
+    # `import sparsify_clip_tpu` stays light for config/tokenizer use.
+    if name in ("create_train_setup", "run_training", "TrainState"):
+        from sparsify_clip_tpu import train
+
+        return getattr(train, name)
+    if name == "evaluate_model":
+        from sparsify_clip_tpu.eval import evaluate_model
+
+        return evaluate_model
+    raise AttributeError(f"module 'sparsify_clip_tpu' has no attribute {name!r}")

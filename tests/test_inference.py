@@ -66,3 +66,16 @@ def test_zero_shot_classifier_shapes(encoder):
     np.testing.assert_allclose(out["probs"].sum(axis=1), 1.0, atol=1e-5)
     assert out["predictions"].shape == (5,)
     assert set(out["predictions"]) <= {0, 1, 2}
+
+
+def test_package_public_api():
+    import sparsify_clip_tpu as pkg
+
+    assert callable(pkg.make_loss_fn)
+    assert callable(pkg.create_model)
+    assert callable(pkg.create_train_setup)  # lazy attr
+    assert callable(pkg.evaluate_model)      # lazy attr
+    assert "RN50" in pkg.MODEL_REGISTRY
+    assert "anchor" in pkg.KNOWN_LOSS_TYPES
+    tok = pkg.get_tokenizer("RN50")
+    assert tok("hello").shape == (1, 77)

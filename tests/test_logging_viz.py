@@ -70,3 +70,41 @@ def test_tsne_umap_gated(tmp_path):
             txt, txt, method=method, save_path=str(tmp_path / f"{method}.png")
         )
         assert path is None
+
+
+def test_eval_plot_path(tmp_path):
+    """evaluate_model's plot hook receives the accumulated embeddings."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparsify_clip_tpu.eval import evaluate_model
+    from sparsify_clip_tpu.models import CLIP
+    from sparsify_clip_tpu.models.clip import CLIPConfig
+
+    tiny = CLIPConfig(
+        name="viz-tiny", embed_dim=8, vision_kind="vit", image_size=32,
+        vision_width=16, vision_layers=(1,), vision_heads=2, patch_size=16,
+        vocab_size=64, context_length=8, text_width=8, text_heads=2,
+        text_layers=1,
+    )
+    model = CLIP(cfg=tiny)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 8), jnp.int32), train=False,
+    )
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, 60, (8, 8)).astype(np.int32)
+    batches = [{"images": rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+                "tokens": tokens}]
+    seen = {}
+
+    def plot_fn(txt, img):
+        seen["txt"], seen["img"] = txt.shape, img.shape
+        visualize_embeddings(txt, img, method="pca",
+                             save_path=str(tmp_path / "eval_pca.png"))
+
+    metrics = evaluate_model(model, variables, batches,
+                             plot_embeddings=True, plot_fn=plot_fn)
+    assert seen == {"txt": (8, 8), "img": (8, 8)}
+    assert (tmp_path / "eval_pca.png").exists()
+    assert len(metrics) == 13
