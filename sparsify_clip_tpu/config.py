@@ -110,6 +110,15 @@ class ExperimentConfig:
     log_backend: str = "auto"
     log_dir: str = "./logs"
     checkpoint_dir: str = "./models"
+    # Sparse embedding projection (north-star capability; OFF by default
+    # — the reference's live code has no such projection, SURVEY.md §8):
+    # "topk" keeps sparse_topk components per embedding, "l1" soft-
+    # thresholds by sparse_l1; applied on-device once epoch >=
+    # sparse_after_epoch.
+    sparse_projection: str = "none"
+    sparse_topk: int = 64
+    sparse_l1: float = 0.01
+    sparse_after_epoch: int = 1
     # NaN debugging: jax_debug_nans inside jit (the reference has no
     # sanitizers; SURVEY.md §5).
     debug_nans: bool = False

@@ -116,6 +116,12 @@ def make_train_step(
         # would otherwise capture tracers on first import)
         from sparsify_clip_tpu.ops.image import augment_batch_core
 
+    from sparsify_clip_tpu.ops.sparsify import make_projection
+
+    projection = make_projection(
+        config.sparse_projection, config.sparse_topk, config.sparse_l1
+    )
+
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         # Reference counts batches 1-based for β/α (sparsify_clip.py:755).
         current_batch = state.step + 1
@@ -153,6 +159,17 @@ def make_train_step(
                 new_bn = state.batch_stats
             img = l2_normalize(img)
             txt = l2_normalize(txt)
+            if projection is not None:
+                # north-star sparsification stage: project embeddings
+                # once past sparse_after_epoch (lax.cond on traced epoch
+                # — no recompile at the boundary)
+                active = epoch >= config.sparse_after_epoch
+                img, txt = jax.lax.cond(
+                    active,
+                    lambda i, t: (projection(i), projection(t)),
+                    lambda i, t: (i, t),
+                    img, txt,
+                )
             temp = (
                 trainables["temperature"] if learnable_temp
                 else jnp.float32(config.anchor_temperature)
