@@ -165,13 +165,19 @@ def evaluate_model(
             return sharded["images"], sharded["tokens"]
         return images, tokens
 
+    import contextlib
+
+    mesh_ctx = (
+        jax.sharding.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    )
     img_chunks: List[jnp.ndarray] = []
     txt_chunks: List[jnp.ndarray] = []
-    for batch in batches:
-        images, tokens = place(batch)
-        img, txt = encode(variables, images, tokens)
-        img_chunks.append(img)
-        txt_chunks.append(txt)
+    with mesh_ctx:
+        for batch in batches:
+            images, tokens = place(batch)
+            img, txt = encode(variables, images, tokens)
+            img_chunks.append(img)
+            txt_chunks.append(txt)
     all_img = jnp.concatenate(img_chunks, axis=0)
     all_txt = jnp.concatenate(txt_chunks, axis=0)
 

@@ -205,6 +205,34 @@ def _vjp_bwd(heads, causal, residuals, g):
 mha_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def mha_pallas_sharded(qkv: jnp.ndarray, heads: int, causal: bool = False) -> jnp.ndarray:
+    """Mesh-aware wrapper: under a traced abstract mesh with a >1 data
+    axis, run the kernel per-shard via shard_map (attention is
+    batch-parallel).  Without this, XLA treats the unpartitioned custom
+    call as replicated and ALL-GATHERS the whole global batch into every
+    chip at every layer.  Requires the enclosing jit to be traced under
+    ``jax.sharding.set_mesh`` (the train step does this)."""
+    am = jax.sharding.get_abstract_mesh()
+    if (
+        am is not None
+        and not am.empty
+        and "data" in am.axis_names
+        and dict(am.shape).get("data", 1) > 1
+    ):
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(
+            functools.partial(mha_pallas, heads=heads, causal=causal),
+            mesh=am,
+            in_specs=P("data"),
+            out_specs=P("data"),
+            # pallas_call out_shapes don't carry vma annotations
+            check_vma=False,
+        )
+        return fn(qkv)
+    return mha_pallas(qkv, heads, causal)
+
+
 def attention_core(
     qkv: jnp.ndarray,
     heads: int,
@@ -215,7 +243,7 @@ def attention_core(
     """Backend-aware attention core used by the towers: Pallas on TPU,
     einsum elsewhere.  ``qkv`` is the packed projection output."""
     if use_pallas and mask is None and jax.default_backend() == "tpu":
-        return mha_pallas(qkv, heads, causal)
+        return mha_pallas_sharded(qkv, heads, causal)
     # reference einsum path (identical math)
     b, l, w3 = qkv.shape
     width = w3 // 3

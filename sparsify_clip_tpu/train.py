@@ -209,12 +209,22 @@ def make_train_step(
         return new_state, metrics
 
     if state_shards is not None:
-        return jax.jit(
+        jitted = jax.jit(
             step_fn,
             donate_argnums=(0,),
             in_shardings=(state_shards, batch_shards),
             out_shardings=(state_shards, None),
         )
+        mesh = batch_shards.mesh
+
+        def train_step(state, batch):
+            # trace under the ambient mesh so mesh-aware kernels
+            # (pallas attention) shard_map instead of replicating
+            with jax.sharding.set_mesh(mesh):
+                return jitted(state, batch)
+
+        train_step._cache_size = jitted._cache_size  # test/introspection hook
+        return train_step
     return jax.jit(step_fn, donate_argnums=(0,))
 
 

@@ -83,3 +83,48 @@ def test_causal_masks_future_tokens():
         changed = np.asarray(mha_pallas(jnp.asarray(mod), heads, True))
     np.testing.assert_allclose(base[0, :7], changed[0, :7], atol=1e-6)
     assert np.abs(base[0, 7] - changed[0, 7]).max() > 1e-4
+
+
+def test_sharded_kernel_matches_global_on_mesh():
+    """mha_pallas_sharded under an 8-device data mesh == the global
+    einsum path (interpret mode exercises the kernel on CPU)."""
+    import numpy as np_
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparsify_clip_tpu.ops.pallas_attention import mha_pallas_sharded
+    from sparsify_clip_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=8, model=1)
+    qkv = _qkv(16, 20, 32)  # 2 samples per device
+    want = np_.asarray(_einsum_ref(qkv, 4, True))
+
+    with jax.sharding.set_mesh(mesh):
+        x = jax.device_put(qkv, NamedSharding(mesh, P("data")))
+        with pltpu.force_tpu_interpret_mode():
+            got = np_.asarray(
+                jax.jit(lambda v: mha_pallas_sharded(v, 4, True))(x)
+            )
+    np_.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_kernel_grads_on_mesh():
+    import numpy as np_
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparsify_clip_tpu.ops.pallas_attention import mha_pallas_sharded
+    from sparsify_clip_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=8, model=1)
+    qkv = _qkv(16, 20, 32)
+    want = np_.asarray(
+        jax.grad(lambda v: jnp.sum(jnp.square(_einsum_ref(v, 4, False))))(qkv)
+    )
+    with jax.sharding.set_mesh(mesh):
+        x = jax.device_put(qkv, NamedSharding(mesh, P("data")))
+        with pltpu.force_tpu_interpret_mode():
+            got = np_.asarray(
+                jax.jit(
+                    jax.grad(lambda v: jnp.sum(jnp.square(mha_pallas_sharded(v, 4, False))))
+                )(x)
+            )
+    np_.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
