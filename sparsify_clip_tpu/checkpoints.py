@@ -151,10 +151,22 @@ def load_torch_clip_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict[str,
     ndarrays; ``module.``-prefixed keys accepted — the reference saves
     DataParallel-wrapped dicts, sparsify_clip.py:982) onto this
     framework's naming.  Returns a flat {our_path: array} dict; use
-    together with :func:`load_weights`-style filling.  Dense kernels are
-    transposed from torch's (out, in) to flax's (in, out); conv kernels
-    from OIHW to HWIO.
+    together with :func:`fill_from_flat`.  Dense kernels are transposed
+    from torch's (out, in) to flax's (in, out); conv kernels from OIHW
+    to HWIO.
+
+    Both visual towers are covered: ViT (``visual.transformer.*``) and
+    the modified ResNet the reference's default ``model: "RN50"``
+    instantiates (``visual.layer*`` / ``visual.attnpool.*``,
+    sparsify_clip.py:686,982-984).  BatchNorm running statistics map
+    into the flax ``batch_stats`` collection and are returned under a
+    ``batch_stats/`` path prefix; torch's ``num_batches_tracked``
+    counters have no flax equivalent and are dropped.
     """
+    keys = [k[len("module."):] if k.startswith("module.") else k for k in state_dict]
+    resnet_visual = any(
+        k.startswith(("visual.layer", "visual.attnpool.")) for k in keys
+    )
     out: Dict[str, Any] = {}
     for key, value in state_dict.items():
         arr = np.asarray(getattr(value, "numpy", lambda: value)())
@@ -178,10 +190,36 @@ def load_torch_clip_state_dict(state_dict: Dict[str, "np.ndarray"]) -> Dict[str,
             rest = ".".join(parts[3:])
             out.update(_map_resblock(f"text/transformer/resblock_{n}", rest, arr))
         elif parts[0] == "visual":
-            out.update(_map_visual(".".join(parts[1:]), arr))
+            rest = ".".join(parts[1:])
+            if resnet_visual:
+                out.update(_map_visual_resnet(rest, arr))
+            else:
+                out.update(_map_visual(rest, arr))
         else:
             out[f"_unmapped/{key}"] = arr
     return out
+
+
+def fill_from_flat(template: Any, flat: Dict[str, Any], prefix: str = "") -> Any:
+    """Fill a param/batch_stats tree from a flat ``{path: array}`` dict
+    (as produced by :func:`load_torch_clip_state_dict`), path-joined
+    with ``/`` and prefixed by ``prefix``.  Raises on missing keys or
+    shape mismatches so silent partial loads are impossible."""
+    import jax
+    import jax.numpy as jnp
+
+    def fill(key_path, leaf):
+        name = prefix + "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in key_path
+        )
+        if name not in flat:
+            raise KeyError(f"missing key {name!r} in converted state_dict")
+        arr = np.asarray(flat[name])
+        if arr.shape != leaf.shape:
+            raise ValueError(f"shape mismatch for {name}: {arr.shape} vs {leaf.shape}")
+        return jnp.asarray(arr, dtype=leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, template)
 
 
 def _map_linear(prefix: str, rest: str, arr: np.ndarray) -> Dict[str, np.ndarray]:
@@ -204,6 +242,57 @@ def _map_resblock(prefix: str, rest: str, arr: np.ndarray) -> Dict[str, np.ndarr
             kind = "scale" if rest.endswith("weight") else "bias"
             return {f"{prefix}/{ln}/ln/{kind}": arr}
     return {f"{prefix}/_unmapped/{rest}": arr}
+
+
+def _map_bn(prefix: str, field: str, arr: np.ndarray) -> Dict[str, np.ndarray]:
+    """torch BatchNorm2d → flax nn.BatchNorm: weight/bias are params
+    (scale/bias); running stats live in the batch_stats collection
+    (returned under a ``batch_stats/`` prefix); ``num_batches_tracked``
+    has no flax equivalent and is dropped."""
+    if field == "weight":
+        return {f"{prefix}/scale": arr}
+    if field == "bias":
+        return {f"{prefix}/bias": arr}
+    if field == "running_mean":
+        return {f"batch_stats/{prefix}/mean": arr}
+    if field == "running_var":
+        return {f"batch_stats/{prefix}/var": arr}
+    return {}
+
+
+def _map_visual_resnet(rest: str, arr: np.ndarray) -> Dict[str, np.ndarray]:
+    """Modified-ResNet visual tower (the reference's default RN50).
+
+    torch naming (open_clip ModifiedResNet): 3-conv stem
+    ``conv{1,2,3}/bn{1,2,3}``, stages ``layer{1-4}.{i}`` with bottleneck
+    ``conv{1,2,3}/bn{1,2,3}`` and ``downsample.{0: conv, 1: bn}``
+    (``downsample.-1`` is a parameterless AvgPool), and the attention
+    pool ``attnpool.{positional_embedding,q/k/v/c_proj}``."""
+    p = "visual"
+    parts = rest.split(".")
+    if parts[0].startswith("conv") and parts[-1] == "weight":
+        return {f"{p}/stem_{parts[0]}/kernel": arr.transpose(2, 3, 1, 0)}
+    if parts[0].startswith("bn"):
+        return _map_bn(f"{p}/stem_{parts[0]}", parts[1], arr)
+    if parts[0] == "attnpool":
+        if parts[1] == "positional_embedding":
+            return {f"{p}/attnpool/positional_embedding": arr}
+        if parts[1] in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            return _map_linear(f"{p}/attnpool/{parts[1]}", parts[2], arr)
+        return {f"{p}/_unmapped/{rest}": arr}
+    if parts[0].startswith("layer"):
+        prefix = f"{p}/{parts[0]}_block{parts[1]}"
+        sub = parts[2]
+        if sub.startswith("conv") and parts[3] == "weight":
+            return {f"{prefix}/{sub}/kernel": arr.transpose(2, 3, 1, 0)}
+        if sub.startswith("bn"):
+            return _map_bn(f"{prefix}/{sub}", parts[3], arr)
+        if sub == "downsample":
+            if parts[3] == "0" and parts[4] == "weight":
+                return {f"{prefix}/downsample_conv/kernel": arr.transpose(2, 3, 1, 0)}
+            if parts[3] == "1":
+                return _map_bn(f"{prefix}/downsample_bn", parts[4], arr)
+    return {f"{p}/_unmapped/{rest}": arr}
 
 
 def _map_visual(rest: str, arr: np.ndarray) -> Dict[str, np.ndarray]:

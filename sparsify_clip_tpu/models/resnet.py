@@ -23,9 +23,66 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+
+class BatchNormHalf(nn.Module):
+    """BatchNorm with fp32 statistics and compute-dtype normalization.
+
+    ``nn.BatchNorm(dtype=fp32)`` materializes an fp32 output for every
+    activation tensor, which doubles the HBM traffic of a bf16 conv
+    tower (BN output feeds the next conv, which reads it back just to
+    cast to bf16).  Here the mean/var reductions accumulate in fp32 —
+    XLA fuses the cast into the reduce, so no fp32 tensor is ever
+    materialized — running statistics live in fp32 (torch parity for
+    checkpoint interop), and the normalization itself folds into a
+    single per-channel multiply-add in the compute dtype, fusable into
+    the producing conv's epilogue.
+
+    Same param/batch_stats tree names as ``nn.BatchNorm``
+    (scale/bias, mean/var), same momentum convention
+    (``ra = m*ra + (1-m)*batch``) and the same E[x²]−E[x]² "fast
+    variance" flax defaults to, so this is a drop-in swap.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * inv
+        return x.astype(self.dtype) * inv.astype(self.dtype) + shift.astype(
+            self.dtype
+        )
 
 
 class Bottleneck(nn.Module):
@@ -37,11 +94,11 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         def bn(name):
-            return nn.BatchNorm(
+            return BatchNormHalf(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=self.dtype,
                 name=name,
             )
 
@@ -128,11 +185,11 @@ class ModifiedResNet(nn.Module):
         """images: (B, H, W, 3) → (B, embed_dim) unnormalized."""
 
         def bn(name):
-            return nn.BatchNorm(
+            return BatchNormHalf(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=self.dtype,
                 name=name,
             )
 

@@ -1,0 +1,178 @@
+"""Cross-framework weight interop for the RN50 visual tower.
+
+The reference's default model in every shipped YAML is RN50
+(experiments_configs/*.yaml `model: "RN50"`), and its checkpoints are
+torch state_dicts with `module.visual.*` keys (sparsify_clip.py:982-984).
+This test builds an independent torch transcription of the modified
+ResNet (written from the architecture spec: 3-conv stem, anti-aliased
+downsampling, attention pool), randomizes every parameter AND the
+BatchNorm running statistics, converts the state_dict through
+``load_torch_clip_state_dict``, fills our flax params/batch_stats, and
+asserts the two frameworks produce the same embeddings.
+"""
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from sparsify_clip_tpu.checkpoints import fill_from_flat, load_torch_clip_state_dict
+from sparsify_clip_tpu.models.resnet import ModifiedResNet
+
+
+class TorchBottleneck(tnn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.avgpool = tnn.AvgPool2d(stride) if stride > 1 else tnn.Identity()
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if stride > 1 or inplanes != planes * 4:
+            self.downsample = tnn.Sequential(OrderedDict([
+                ("-1", tnn.AvgPool2d(stride) if stride > 1 else tnn.Identity()),
+                ("0", tnn.Conv2d(inplanes, planes * 4, 1, bias=False)),
+                ("1", tnn.BatchNorm2d(planes * 4)),
+            ]))
+
+    def forward(self, x):
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = torch.relu(self.bn2(self.conv2(out)))
+        out = self.avgpool(out)
+        out = self.bn3(self.conv3(out))
+        identity = x if self.downsample is None else self.downsample(x)
+        return torch.relu(out + identity)
+
+
+class TorchAttentionPool2d(tnn.Module):
+    def __init__(self, spacial_dim, embed_dim, num_heads, output_dim):
+        super().__init__()
+        self.positional_embedding = tnn.Parameter(
+            torch.randn(spacial_dim ** 2 + 1, embed_dim)
+        )
+        self.q_proj = tnn.Linear(embed_dim, embed_dim)
+        self.k_proj = tnn.Linear(embed_dim, embed_dim)
+        self.v_proj = tnn.Linear(embed_dim, embed_dim)
+        self.c_proj = tnn.Linear(embed_dim, output_dim)
+        self.num_heads = num_heads
+
+    def forward(self, x):  # NCHW
+        b, c, h, w = x.shape
+        x = x.reshape(b, c, h * w).permute(0, 2, 1)
+        x = torch.cat([x.mean(dim=1, keepdim=True), x], dim=1)
+        x = x + self.positional_embedding[None]
+        q, k, v = self.q_proj(x[:, :1]), self.k_proj(x), self.v_proj(x)
+        hd = c // self.num_heads
+        q = q.reshape(b, 1, self.num_heads, hd).permute(0, 2, 1, 3) * hd ** -0.5
+        k = k.reshape(b, -1, self.num_heads, hd).permute(0, 2, 1, 3)
+        v = v.reshape(b, -1, self.num_heads, hd).permute(0, 2, 1, 3)
+        attn = torch.softmax(q @ k.transpose(-2, -1), dim=-1)
+        out = (attn @ v).permute(0, 2, 1, 3).reshape(b, 1, c)
+        return self.c_proj(out)[:, 0]
+
+
+class TorchModifiedResNet(tnn.Module):
+    def __init__(self, layers, width, image_size, embed_dim, heads):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, width // 2, 3, stride=2, padding=1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width // 2)
+        self.conv2 = tnn.Conv2d(width // 2, width // 2, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width // 2)
+        self.conv3 = tnn.Conv2d(width // 2, width, 3, padding=1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(width)
+        self.avgpool = tnn.AvgPool2d(2)
+
+        inplanes, planes = width, width
+        stages = []
+        for stage, blocks in enumerate(layers):
+            stride = 1 if stage == 0 else 2
+            mods = []
+            for block in range(blocks):
+                mods.append(
+                    TorchBottleneck(inplanes, planes, stride if block == 0 else 1)
+                )
+                inplanes = planes * 4
+            stages.append(tnn.Sequential(*mods))
+            planes *= 2
+        self.layer1, self.layer2, self.layer3, self.layer4 = stages
+
+        spacial = image_size // (2 ** (2 + len(layers) - 1))
+        self.attnpool = TorchAttentionPool2d(spacial, width * 32, heads, embed_dim)
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = torch.relu(self.bn2(self.conv2(x)))
+        x = torch.relu(self.bn3(self.conv3(x)))
+        x = self.avgpool(x)
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return self.attnpool(x)
+
+
+def _randomize(model: tnn.Module, seed: int = 0) -> None:
+    torch.manual_seed(seed)
+    for p in model.parameters():
+        p.data.normal_(0.0, 0.05)
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.weight.data.normal_(1.0, 0.1)
+            m.bias.data.normal_(0.0, 0.1)
+            m.running_mean.normal_(0.0, 0.1)
+            m.running_var.uniform_(0.5, 1.5)
+
+
+@pytest.fixture(scope="module")
+def towers():
+    layers, width, image_size, embed_dim, heads = (1, 1, 1, 1), 8, 32, 16, 4
+    tmodel = TorchModifiedResNet(layers, width, image_size, embed_dim, heads)
+    _randomize(tmodel)
+    tmodel.eval()
+
+    fmodel = ModifiedResNet(
+        layers=layers, width=width, image_size=image_size,
+        embed_dim=embed_dim, heads=heads,
+    )
+    variables = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)),
+        train=False,
+    )
+    # the reference saves DataParallel-wrapped dicts (module. prefix)
+    sd = {f"module.visual.{k}": v for k, v in tmodel.state_dict().items()}
+    flat = load_torch_clip_state_dict(sd)
+    return tmodel, fmodel, variables, flat
+
+
+def test_rn50_state_dict_maps_with_zero_unmapped(towers):
+    _, _, _, flat = towers
+    unmapped = [k for k in flat if "_unmapped" in k]
+    assert unmapped == [], unmapped
+
+
+def test_rn50_embeddings_match_torch(towers):
+    tmodel, fmodel, variables, flat = towers
+    params = fill_from_flat(variables["params"], flat, prefix="visual/")
+    batch_stats = fill_from_flat(
+        variables["batch_stats"], flat, prefix="batch_stats/visual/"
+    )
+
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+
+    ours = fmodel.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(images), train=False,
+    )
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(images.transpose(0, 3, 1, 2)))
+
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy(), rtol=2e-4, atol=2e-4
+    )
