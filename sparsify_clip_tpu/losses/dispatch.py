@@ -57,6 +57,11 @@ class LossContext:
     beta: jnp.ndarray
     alpha: jnp.ndarray
     warm: jnp.ndarray
+    # Optional (B, B) row-stochastic soft-target matrix for the
+    # "anchor-roberta" surface, supplied through the batch dict (the
+    # reference derives it on host from RoBERTa sentence similarities,
+    # sparsify_clip.py:135-157).  None for every other loss_type.
+    soft_targets: jnp.ndarray = None
 
 
 def _zero() -> jnp.ndarray:
@@ -132,6 +137,25 @@ def _anchor_alpha_lalign_beta_lunif_centroids(img, txt, ctx: LossContext, infonc
     }
 
 
+def _anchor_roberta(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
+    # The reference's "anchor-roberta" selection surface: it
+    # conditionally loads a RoBERTa sentence encoder for this loss_type
+    # (sparsify_clip.py:711-713) but the dispatch branch itself is
+    # commented out (:1196-1202), so selecting it there crashes with an
+    # undefined `loss`.  Here it is dispatchable: the (B, B) soft-target
+    # matrix is host-supplied through the batch dict ("soft_targets").
+    from sparsify_clip_tpu.losses.contrastive import contrastive_loss_roberta
+
+    if ctx.soft_targets is None:
+        raise ValueError(
+            "loss_type 'anchor-roberta' needs a (B, B) 'soft_targets' "
+            "matrix in the batch dict (host-computed sentence "
+            "similarities, row-stochastic)."
+        )
+    loss = contrastive_loss_roberta(img, txt, ctx.soft_targets, ctx.temperature)
+    return loss, {"anchor": loss, "lalign": _zero(), "lunif": _zero()}
+
+
 def _anchor_lalign(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
     # Ablation 1 (sparsify_clip.py:922-927).
     anchor = infonce(img, txt, ctx.temperature)
@@ -150,6 +174,7 @@ def _anchor_lunif_centroids(img, txt, ctx: LossContext, infonce=contrastive_loss
 # reference spellings (sparsify_clip.py:778-930).
 _DISPATCH: Dict[str, Tuple[LossFn, bool]] = {
     "anchor": (_anchor_only, False),
+    "anchor-roberta": (_anchor_roberta, False),
     "only_lunif_n_then_anchor+lalign+lunif(text)+lunif(img)": (
         _anchor_lalign_lunif_modality, True),
     "only_lunif_n_then_anchor+lalign+lunif(centroids)": (

@@ -174,7 +174,11 @@ def make_train_step(
                 trainables["temperature"] if learnable_temp
                 else jnp.float32(config.anchor_temperature)
             )
-            ctx = LossContext(temperature=temp, beta=beta, alpha=alpha, warm=warm)
+            ctx = LossContext(
+                temperature=temp, beta=beta, alpha=alpha, warm=warm,
+                # host-supplied (B, B) soft targets for "anchor-roberta"
+                soft_targets=batch.get("soft_targets"),
+            )
             loss, aux = loss_core(img, txt, ctx)
             return loss, (aux, new_bn)
 

@@ -21,13 +21,19 @@ def _pair():
     return img, txt
 
 
-def _ctx(warm=False, beta=0.7, alpha=1.3, temp=0.1):
+def _ctx(warm=False, beta=0.7, alpha=1.3, temp=0.1, soft_targets=None):
     return LossContext(
         temperature=jnp.float32(temp),
         beta=jnp.float32(beta),
         alpha=jnp.float32(alpha),
         warm=jnp.array(warm),
+        soft_targets=soft_targets,
     )
+
+
+def _soft_targets(b=B):
+    st = RNG.random((b, b)).astype(np.float32)
+    return st / st.sum(axis=1, keepdims=True)
 
 
 # Torch pipeline goldens -----------------------------------------------------
@@ -162,10 +168,34 @@ def test_warm_phase_switch(pair):
         assert main_loss != pytest.approx(warm_loss, rel=1e-3)
 
 
+def test_anchor_roberta_matches_torch_soft_ce(pair):
+    img, txt, ti, tt = pair
+    st = _soft_targets()
+    loss, aux = _run(
+        "anchor-roberta", img, txt, soft_targets=jnp.asarray(st)
+    )
+    sim = ti @ tt.T / 0.1
+    tst = torch.from_numpy(st)
+    golden = (TF.cross_entropy(sim, tst) + TF.cross_entropy(sim.T, tst.T)) / 2
+    assert loss == pytest.approx(float(golden), rel=1e-5)
+    assert aux["anchor"] == pytest.approx(loss)
+
+
+def test_anchor_roberta_requires_soft_targets(pair):
+    img, txt, _, _ = pair
+    fn = make_loss_fn("anchor-roberta")
+    with pytest.raises(ValueError, match="soft_targets"):
+        fn(jnp.asarray(img), jnp.asarray(txt), _ctx())
+
+
 def test_every_live_loss_type_runs(pair):
     img, txt, _, _ = pair
     for loss_type in KNOWN_LOSS_TYPES:
-        loss, aux = _run(loss_type, img, txt)
+        kw = (
+            {"soft_targets": jnp.asarray(_soft_targets())}
+            if loss_type == "anchor-roberta" else {}
+        )
+        loss, aux = _run(loss_type, img, txt, **kw)
         assert np.isfinite(loss)
         assert set(aux) >= {"anchor", "lalign", "lunif"}
 

@@ -136,6 +136,7 @@ def test_batch_actually_sharded():
     assert shards[0].data.shape[0] == 2  # 16 / 8
 
 
+@pytest.mark.slow
 def test_resnet_tower_trains():
     tiny_rn = CLIPConfig(
         name="test-tiny-rn", embed_dim=16, vision_kind="resnet", image_size=32,
@@ -171,3 +172,19 @@ def test_tensor_parallel_mesh_runs():
     )
     state, metrics = setup.train_step(setup.state, batch)
     assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_anchor_roberta_train_step():
+    """'anchor-roberta' is dispatchable end-to-end: host-supplied (B, B)
+    soft targets ride the batch dict (the reference's surface at
+    sparsify_clip.py:711-713 whose loss branch is commented out there)."""
+    cfg = _config(loss_type="anchor-roberta")
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    batch = _batch()
+    st = RNG.random((16, 16)).astype(np.float32)
+    batch["soft_targets"] = st / st.sum(axis=1, keepdims=True)
+    batch = shard_batch(batch, mesh)
+    state, metrics = setup.train_step(setup.state, batch)
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert int(state.step) == 1
