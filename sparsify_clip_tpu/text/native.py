@@ -55,6 +55,9 @@ class NativeCLIPTokenizer:
             raise RuntimeError(
                 "native tokenizer library unavailable (build failed or no toolchain)"
             )
+        from sparsify_clip_tpu.text.tokenizer import default_bpe_path
+
+        merges_path = merges_path or default_bpe_path()
         self._lib = ctypes.CDLL(path)
         self._lib.clip_bpe_create.restype = ctypes.c_void_p
         self._lib.clip_bpe_create.argtypes = [ctypes.c_char_p]

@@ -13,17 +13,26 @@ implements the same machinery from scratch:
 * context assembly: ``[sot] + bpe(text) + [eot]``, truncated so the
   last token is always ``eot``, zero-padded to ``context_length``.
 
-Vocab provenance: the real CLIP vocab ships as
-``bpe_simple_vocab_16e6.txt.gz`` (a data file, not code).  When a path
-to it is supplied (or found via ``$CLIP_BPE_PATH``), token ids match
-open_clip exactly.  In hermetic environments we fall back to a pure
-byte-level vocab (no merges): 256 byte tokens + 256 ``</w>``-suffixed
-byte tokens, with the special tokens kept at their canonical ids 49406
-(sot) / 49407 (eot) so that "EOT = argmax(token ids)" — the property the
-text tower relies on to locate the end-of-text embedding — holds in
-both modes.  Models are trained from scratch in this repo
-(``pretrained=None`` in the reference, sparsify_clip.py:685-689), so
-the fallback changes tokenization granularity but not capability.
+Vocab provenance (resolution order, see :func:`default_bpe_path`):
+
+1. an explicit ``bpe_path`` argument or ``$CLIP_BPE_PATH`` — point it
+   at the real ``bpe_simple_vocab_16e6.txt.gz`` (a data file, not code)
+   and token ids match open_clip exactly;
+2. the real vocab dropped into ``text/data/bpe_simple_vocab_16e6.txt.gz``;
+3. the committed deterministic subset vocab
+   ``text/data/coco_en_merges.txt.gz`` (built by
+   ``scripts/build_bpe_vocab.py`` from a COCO-caption frequency corpus)
+   — realistic word/subword granularity for caption English, but ids
+   are NOT open_clip ids;
+4. a pure byte-level fallback (no merges): 256 byte tokens + 256
+   ``</w>``-suffixed byte tokens.
+
+In every mode the special tokens keep their canonical ids 49406 (sot) /
+49407 (eot) so that "EOT = argmax(token ids)" — the property the text
+tower relies on to locate the end-of-text embedding — always holds.
+Models are trained from scratch in this repo (``pretrained=None`` in
+the reference, sparsify_clip.py:685-689), so a non-open_clip vocab
+changes tokenization granularity but not capability.
 
 A C++ implementation of the same algorithm (for host-side throughput)
 lives in ``native/tokenizer``; this Python version is the behavioral
@@ -96,6 +105,24 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+REAL_VOCAB_PATH = os.path.join(_DATA_DIR, "bpe_simple_vocab_16e6.txt.gz")
+SUBSET_VOCAB_PATH = os.path.join(_DATA_DIR, "coco_en_merges.txt.gz")
+
+
+def default_bpe_path() -> Optional[str]:
+    """Default merges file: ``$CLIP_BPE_PATH`` → the real open_clip
+    vocab in ``text/data/`` → the committed subset vocab → ``None``
+    (byte-level fallback)."""
+    env = os.environ.get("CLIP_BPE_PATH")
+    if env and os.path.exists(env):
+        return env
+    for path in (REAL_VOCAB_PATH, SUBSET_VOCAB_PATH):
+        if os.path.exists(path):
+            return path
+    return None
+
+
 def _load_merges(bpe_path: str) -> List[Tuple[str, str]]:
     opener = gzip.open if bpe_path.endswith(".gz") else open
     with opener(bpe_path, "rt", encoding="utf-8") as fh:
@@ -111,8 +138,9 @@ class CLIPTokenizer:
 
     Args:
         bpe_path: path to ``bpe_simple_vocab_16e6.txt.gz`` (or an
-            uncompressed merges file).  ``None`` → ``$CLIP_BPE_PATH`` if
-            set, else the hermetic byte-level fallback vocab.
+            uncompressed merges file).  ``None`` → the
+            :func:`default_bpe_path` resolution chain (env var → real
+            vocab → committed subset vocab → byte-level fallback).
         context_length: tokens per sequence (reference: 77).
     """
 
@@ -121,13 +149,18 @@ class CLIPTokenizer:
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
 
-        bpe_path = bpe_path or os.environ.get("CLIP_BPE_PATH") or None
+        bpe_path = bpe_path or default_bpe_path()
         if bpe_path and os.path.exists(bpe_path):
             merges = _load_merges(bpe_path)
             self.hermetic = False
+            self.vocab_kind = (
+                "subset" if os.path.abspath(bpe_path) == SUBSET_VOCAB_PATH
+                else "openai"
+            )
         else:
             merges = []
             self.hermetic = True
+            self.vocab_kind = "byte-fallback"
 
         base = list(self.byte_encoder.values())
         vocab: List[str] = base + [v + "</w>" for v in base]
