@@ -176,9 +176,11 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
     print("Evaluation complete.\n")
 
     os.makedirs(config.checkpoint_dir, exist_ok=True)
-    checkpoints.save_weights(
+    final_path = checkpoints.save_weights(
         state.params, os.path.join(config.checkpoint_dir, f"{config.run_name}.npz")
     )
+    # Attach the final model to the run (reference: wandb.save, :1119).
+    logger.save_artifact(final_path)
     logger.finish()
     return final_log
 

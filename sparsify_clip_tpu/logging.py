@@ -84,6 +84,17 @@ class RunLogger:
             self._wandb.log({key: self._wandb.Image(path)})
         self.log({"event": "image", "key": key, "path": path})
 
+    def save_artifact(self, path: str) -> None:
+        """Attach a file to the run (the reference's final-model
+        ``wandb.save`` at sparsify_clip.py:1119); always recorded in
+        the JSONL stream as well."""
+        if self._wandb is not None:
+            try:
+                self._wandb.save(path)
+            except Exception:
+                pass  # artifact upload failure must not kill the run
+        self.log({"event": "artifact", "path": os.path.abspath(path)})
+
     def finish(self) -> None:
         self.log({"event": "run_end"})
         self._fh.close()

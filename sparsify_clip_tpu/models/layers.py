@@ -25,7 +25,6 @@ from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp
-import numpy as np
 
 Dtype = Any
 
@@ -167,29 +166,3 @@ class Transformer(nn.Module):
                 causal=self.causal, ln_fp32=self.ln_fp32, name=f"resblock_{i}",
             )(x)
         return x
-
-
-def causal_mask(length: int) -> jnp.ndarray:
-    """Additive (L, L) causal mask: 0 on/below diagonal, −inf above
-    (the text tower's autoregressive mask, matching CLIP)."""
-    mask = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
-    return jnp.triu(mask, k=1)
-
-
-def sinusoidal_or_learned_pos(rng_std: float) -> Callable:
-    return nn.initializers.normal(rng_std)
-
-
-def normal_init(std: float) -> Callable:
-    return nn.initializers.normal(std)
-
-
-def patch_count(image_size: int, patch_size: int) -> int:
-    assert image_size % patch_size == 0
-    return (image_size // patch_size) ** 2
-
-
-def np_causal_mask(length: int) -> np.ndarray:
-    m = np.zeros((length, length), np.float32)
-    m[np.triu_indices(length, 1)] = -np.inf
-    return m

@@ -1,9 +1,12 @@
 """Backend selection for the fused loss kernels.
 
-Pallas kernels run compiled on TPU; on CPU (tests, debugging) they run
-through the Pallas interpreter so the same code path is exercised
-everywhere.  The XLA twins in :mod:`sparsify_clip_tpu.losses` remain
-the numerics goldens and the fallback for ``use_pallas=False``.
+Pallas kernels run compiled on TPU; off-TPU (and for
+``use_pallas=False``) these dispatchers fall back to the XLA twins in
+:mod:`sparsify_clip_tpu.losses`, which are the numerics goldens.  The
+Pallas *interpreter* path is exercised by the kernel tests
+(``tests/test_pallas_ops.py``), not by this dispatcher — interpreting
+the kernels inside every CPU train step would be pure overhead since
+the XLA twins are numerics-equal.
 """
 
 from __future__ import annotations

@@ -1,5 +1,6 @@
 """Auto-resume: crash-recovery from the latest full orbax checkpoint."""
 
+import pytest
 import json
 
 import yaml
@@ -19,6 +20,7 @@ MODEL_REGISTRY.setdefault(
 )
 
 
+@pytest.mark.slow
 def test_auto_resume_continues_from_full_state(tmp_path):
     base = {
         "project_name": "t", "run_name": "auto_resume",

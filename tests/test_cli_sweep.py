@@ -37,6 +37,7 @@ def _cfg(tmp_path, run_name, loss_type, **kw):
     return cfg
 
 
+@pytest.mark.slow
 def test_dir_sweep_runs_all_and_skips_empty(tmp_path, capsys):
     sweep = tmp_path / "sweep"
     sweep.mkdir()

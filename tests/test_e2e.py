@@ -39,6 +39,7 @@ def tiny_config(tmp_path):
     })
 
 
+@pytest.mark.slow
 def test_full_experiment_runs(tiny_config, tmp_path):
     final = main(tiny_config, image_size=32)
     # 13-metric schema (reference final_log, sparsify_clip.py:659-667)
@@ -61,6 +62,7 @@ def test_full_experiment_runs(tiny_config, tmp_path):
     assert (tmp_path / "models" / "e2e_exp2_tiny").is_dir()
 
 
+@pytest.mark.slow
 def test_cli_file_mode(tmp_path):
     cfg_path = tmp_path / "exp.yaml"
     cfg = {
@@ -82,6 +84,7 @@ def test_cli_file_mode(tmp_path):
     assert (tmp_path / "logs" / "cli_file_mode.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_resume_weights_only(tiny_config, tmp_path):
     main(tiny_config, image_size=32)
     resumed = ExperimentConfig.from_dict({

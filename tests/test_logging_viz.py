@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from sparsify_clip_tpu.logging import RunLogger
 from sparsify_clip_tpu.viz import visualize_embeddings
@@ -72,6 +73,7 @@ def test_tsne_umap_gated(tmp_path):
         assert path is None
 
 
+@pytest.mark.slow
 def test_eval_plot_path(tmp_path):
     """evaluate_model's plot hook receives the accumulated embeddings."""
     import jax

@@ -1,5 +1,6 @@
 """--smoke CLI mode: any experiment YAML runs end-to-end hermetically."""
 
+import pytest
 import yaml
 
 from sparsify_clip_tpu.cli import apply_smoke_overrides, cli
@@ -36,6 +37,7 @@ def test_overrides_preserve_experiment_identity():
     assert smoke.run_name == "exp6-smoke"
 
 
+@pytest.mark.slow
 def test_smoke_flag_end_to_end(tmp_path):
     cfg_path = tmp_path / "exp.yaml"
     cfg_path.write_text(yaml.safe_dump({
