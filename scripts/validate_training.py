@@ -31,6 +31,16 @@ MODEL_REGISTRY.setdefault(
         vision_width=768, vision_layers=(12,), vision_heads=12, patch_size=16,
     ),
 )
+# The reference's default model family at 64px (BatchNorm towers,
+# anti-aliased downsampling, attention pool) for learning validation
+# of the conv path.
+MODEL_REGISTRY.setdefault(
+    "RN50-64px",
+    CLIPConfig(
+        name="RN50-64px", embed_dim=1024, vision_kind="resnet", image_size=64,
+        vision_width=64, vision_layers=(3, 4, 6, 3), vision_heads=32,
+    ),
+)
 
 N_PAIRS = 128
 BATCH = 64
@@ -39,9 +49,18 @@ EVAL_EVERY = 30
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["vit", "rn50"], default="vit")
+    ap.add_argument("--steps", type=int, default=STEPS)
+    args = ap.parse_args()
+    name = {"vit": "ViT-B-32-64px", "rn50": "RN50-64px"}[args.model]
+    lr = {"vit": 5e-5, "rn50": 2e-4}[args.model]
+    steps_target = args.steps
     config = ExperimentConfig.from_dict({
-        "model": "ViT-B-32-64px", "batch_size": BATCH, "epochs": 100,
-        "learning_rate": 5e-5, "loss_type": "anchor",
+        "model": name, "batch_size": BATCH, "epochs": 100,
+        "learning_rate": lr, "loss_type": "anchor",
         "anchor_temperature": 0.1, "fp16": True, "seed": 0,
     })
     mesh = create_mesh(data=1, model=1)
@@ -62,6 +81,8 @@ def main():
 
     def eval_r1(state):
         variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
         metrics = evaluate_model(setup.model, variables, eval_batches)
         return metrics["backward_r1"], metrics["forward_r1"]
 
@@ -71,7 +92,7 @@ def main():
 
     step = 0
     history = [(0, b_r1)]
-    while step < STEPS:
+    while step < steps_target:
         for batch in loader.epoch(step):
             dev_batch = shard_batch(
                 {"images": batch["images"], "tokens": batch["tokens"]}, mesh
@@ -84,7 +105,7 @@ def main():
                 print(f"step {step}: loss={loss:.4f} backward_r1={b_r1:.2f} "
                       f"forward_r1={f_r1:.2f}", flush=True)
                 history.append((step, b_r1))
-            if step >= STEPS:
+            if step >= steps_target:
                 break
 
     first, last = history[0][1], history[-1][1]
