@@ -123,9 +123,17 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
 
     eval_batches = list(test_loader.epoch(0))
     last_eval: Dict[str, float] = {}
+    eval_pass = 0
 
     def eval_fn(state):
-        nonlocal last_eval
+        nonlocal last_eval, eval_pass
+        if config.eval_redraw_captions and eval_pass > 0:
+            # reference semantics: every eval pass re-draws the 1-of-5
+            # caption (sparsify_clip.py:1050-1057 via :564)
+            batches = list(test_loader.epoch(eval_pass))
+        else:
+            batches = eval_batches
+        eval_pass += 1
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -136,7 +144,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
                     txt, img, out_dir="plots", tag=f"{time.time():.0f}", logger=logger
                 )
         metrics = evaluate_model(
-            model, variables, eval_batches,
+            model, variables, batches,
             plot_embeddings=config.plot_embeddings, plot_fn=plot_fn,
             mesh=setup.mesh,
         )

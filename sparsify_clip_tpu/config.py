@@ -127,6 +127,12 @@ class ExperimentConfig:
     plot_embeddings: bool = False
     # Steps per eval; -1 reproduces reference per-epoch cadence.
     eval_every_n_steps: int = -1
+    # Re-draw the 1-of-5 eval caption on every eval pass, as the
+    # reference's fresh loader sweep does (collate random.choice,
+    # sparsify_clip.py:1050-1057 via :564).  False (default) freezes
+    # the eval batches once so per-epoch metric curves are comparable
+    # across epochs (documented delta, PARITY.md).
+    eval_redraw_captions: bool = False
 
     # Unrecognized YAML keys, preserved verbatim.
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)

@@ -165,3 +165,36 @@ def test_grain_loader_backend():
     a = next(iter(train_loader.epoch(0)))
     b = next(iter(train_loader.epoch(0)))
     np.testing.assert_array_equal(a["images"], b["images"])
+
+
+def test_eval_caption_redraw_across_epochs():
+    """test-mode loader re-draws the 1-of-5 caption when the epoch
+    index changes (reference eval semantics, sparsify_clip.py:1050-1057
+    via :564; exposed through config.eval_redraw_captions)."""
+    from sparsify_clip_tpu.data.loader import DataLoader
+    from sparsify_clip_tpu.data.synthetic import SyntheticCaptions
+
+    ds = SyntheticCaptions(16, seed=0, image_size=32)
+    tok = get_tokenizer("RN50")
+    loader = DataLoader(ds, 16, tok, train=False, shuffle=False, seed=0,
+                        image_size=32)
+    cap0 = [b["captions"] for b in loader.epoch(0)][0]
+    cap0_again = [b["captions"] for b in loader.epoch(0)][0]
+    cap1 = [b["captions"] for b in loader.epoch(1)][0]
+    assert cap0 == cap0_again          # deterministic per pass index
+    assert cap0 != cap1                # re-drawn on a fresh pass
+    # images must be identical (deterministic squash-resize eval path)
+    img0 = [b["images"] for b in loader.epoch(0)][0]
+    img1 = [b["images"] for b in loader.epoch(1)][0]
+    np.testing.assert_array_equal(img0, img1)
+
+
+def test_eval_redraw_config_key_parses():
+    from sparsify_clip_tpu.config import ExperimentConfig
+
+    cfg = ExperimentConfig.from_dict({
+        "model": "RN50", "batch_size": 4, "epochs": 1,
+        "learning_rate": 1e-4, "loss_type": "anchor",
+        "eval_redraw_captions": True,
+    })
+    assert cfg.eval_redraw_captions is True
