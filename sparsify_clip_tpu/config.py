@@ -106,6 +106,10 @@ class ExperimentConfig:
     # Data-loader backend: "threads" (default) or "grain"
     # (deterministic multi-worker pipelines via google/grain).
     loader_backend: str = "threads"
+    # Host image path: "pil" (golden), "native" (C++ libjpeg decode +
+    # fused crop/resize/flip/normalize, native/imaging/), "auto"
+    # (native when it builds).  Same RNG streams either way.
+    image_backend: str = "pil"
     # Logging backend: "jsonl" (always available) and/or "wandb" when installed.
     log_backend: str = "auto"
     log_dir: str = "./logs"

@@ -74,6 +74,15 @@ class CocoCaptions:
             img = self.transform(img)
         return img, self.index.captions[i]
 
+    def raw_bytes(self, i: int) -> Optional[bytes]:
+        """Undecoded JPEG bytes for the native image pipeline (None for
+        non-JPEG files — the loader falls back to PIL per item)."""
+        path = self.image_path(i)
+        if not path.lower().endswith((".jpg", ".jpeg")):
+            return None
+        with open(path, "rb") as fh:
+            return fh.read()
+
 
 class Subset:
     """Head-subset wrapper (torch.utils.data.Subset equivalent as used
@@ -88,3 +97,7 @@ class Subset:
 
     def __getitem__(self, i: int):
         return self.dataset[self.indices[i]]
+
+    def raw_bytes(self, i: int) -> Optional[bytes]:
+        inner = getattr(self.dataset, "raw_bytes", None)
+        return inner(self.indices[i]) if inner is not None else None

@@ -43,10 +43,19 @@ class DataLoader:
         prefetch: int = 2,
         image_size: int = 224,
         raw_uint8: bool = False,
+        image_backend: str = "pil",
     ):
         """``raw_uint8``: skip host augmentation — squash-resize decoded
         images to ``image_size`` and ship uint8 (the device-augment
-        path; crop/flip/normalize then run on-device via ops/image.py)."""
+        path; crop/flip/normalize then run on-device via ops/image.py).
+
+        ``image_backend``: "pil" (golden), "native" (C++ libjpeg decode
+        + fused crop/resize/flip/normalize, native/imaging/), or "auto"
+        (native when it builds).  Crop/flip/caption draws use the same
+        RNG streams either way, so the backend never changes data order
+        — only the resize arithmetic (~1/255; tests pin the parity).
+        Items the native path can't handle (non-JPEG files) fall back
+        to PIL individually."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -58,6 +67,15 @@ class DataLoader:
         self.prefetch = prefetch
         self.image_size = image_size
         self.raw_uint8 = raw_uint8
+        self._native = None
+        if image_backend in ("native", "auto"):
+            from sparsify_clip_tpu.data.native_imaging import get_pipeline
+
+            self._native = get_pipeline()
+            if self._native is None and image_backend == "native":
+                raise RuntimeError(
+                    "image_backend='native' but the imaging library is unavailable"
+                )
         if self.num_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -74,6 +92,15 @@ class DataLoader:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, index, int(self.train)])
         )
+        if self._native is not None:
+            item = self._load_item_native(index, rng)
+            if item is not None:
+                return item
+            # fresh stream: a failed native attempt may have consumed
+            # draws; the PIL fallback must see the canonical sequence
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch, index, int(self.train)])
+            )
         img, captions = self.dataset[index]
         if self.raw_uint8:
             import numpy as _np
@@ -90,6 +117,50 @@ class DataLoader:
         # one random caption out of the ≤5 (sparsify_clip.py:1050-1057)
         caption = captions[int(rng.integers(0, len(captions)))] if captions else ""
         return arr, caption
+
+    def _load_item_native(self, index: int, rng: np.random.Generator):
+        """C++ decode+transform path.  Consumes rng in exactly the PIL
+        path's draw order (crop params → flip → caption) so switching
+        backends never changes the data order.  Returns None to fall
+        back to PIL (dataset without raw bytes / undecodable file)."""
+        raw = getattr(self.dataset, "raw_bytes", None)
+        if raw is None:
+            return None
+        jpeg = raw(index)
+        if jpeg is None:
+            return None
+        from sparsify_clip_tpu.data.transforms import sample_resized_crop_params
+
+        try:
+            if self.raw_uint8:
+                arr = self._native.transform(jpeg, self.image_size, uint8=True)
+            elif self.train:
+                h, w = self._native.dims(jpeg)
+                top, left, ch, cw = sample_resized_crop_params(h, w, rng)
+                flip = rng.random() < 0.5
+                arr = self._native.transform(
+                    jpeg, self.image_size, crop=(top, left, ch, cw), flip=flip
+                )
+            else:
+                arr = self._native.transform(jpeg, self.image_size)
+        except ValueError:
+            return None
+        captions = self._captions_of(index)
+        caption = captions[int(rng.integers(0, len(captions)))] if captions else ""
+        return arr, caption
+
+    def _captions_of(self, index: int):
+        """Caption list without decoding the image (native path)."""
+        ds = self.dataset
+        indices = []
+        while hasattr(ds, "indices"):  # Subset chain
+            indices.append(ds.indices)
+            ds = ds.dataset
+        for idx_map in indices:
+            index = idx_map[index]
+        if hasattr(ds, "index"):  # CocoCaptions
+            return ds.index.captions[index]
+        return ds[index][1]
 
     def _make_batch(self, indices: np.ndarray, epoch: int) -> Dict[str, np.ndarray]:
         if self.num_threads > 1 and len(indices) > 1:

@@ -81,16 +81,17 @@ def dataset_loader(
             train_ds, config.batch_size, tokenizer, train=True, seed=config.seed,
             shuffle=True, drop_last=True, num_threads=num_threads,
             image_size=config.device_augment_staging, raw_uint8=True,
+            image_backend=config.image_backend,
         )
     else:
         train_loader = DataLoader(
             train_ds, config.batch_size, tokenizer, train=True, seed=config.seed,
             shuffle=True, drop_last=True, num_threads=num_threads,
-            image_size=image_size,
+            image_size=image_size, image_backend=config.image_backend,
         )
     test_loader = DataLoader(
         test_ds, config.batch_size, tokenizer, train=False, seed=config.seed,
         shuffle=False, drop_last=True, num_threads=num_threads,
-        image_size=image_size,
+        image_size=image_size, image_backend=config.image_backend,
     )
     return train_loader, test_loader
