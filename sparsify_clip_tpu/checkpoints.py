@@ -37,6 +37,31 @@ def save_full(state, directory: str, step: Optional[int] = None) -> str:
     return path
 
 
+_async_ckptr: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def save_full_async(state, directory: str, step: Optional[int] = None) -> str:
+    """Non-blocking :func:`save_full`: the device→host snapshot happens
+    now, serialization/disk IO proceed in a background thread so the
+    train loop keeps stepping (the reference's torch.save blocks the
+    step loop, sparsify_clip.py:982-984).  Call
+    :func:`wait_for_async_saves` before reading the files or exiting.
+    """
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    step = int(state.step) if step is None else step
+    path = os.path.join(_abs(directory), f"step_{step}")
+    _async_ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+    return path
+
+
+def wait_for_async_saves() -> None:
+    """Block until every :func:`save_full_async` has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
 def restore_full(directory_or_path: str, abstract_state):
     """Restore a TrainState saved by :func:`save_full`.
 

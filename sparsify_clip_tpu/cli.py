@@ -165,7 +165,11 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             state.params,
             os.path.join(config.checkpoint_dir, f"{config.run_name}_epoch_{epoch}.npz"),
         )
-        checkpoints.save_full(state, os.path.join(config.checkpoint_dir, config.run_name))
+        full_dir = os.path.join(config.checkpoint_dir, config.run_name)
+        if config.async_checkpoint:
+            checkpoints.save_full_async(state, full_dir)
+        else:
+            checkpoints.save_full(state, full_dir)
         print(f"Model saved at epoch {epoch}")
 
     print("Training the model...")
@@ -184,6 +188,8 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
     print("Evaluation complete.\n")
 
     os.makedirs(config.checkpoint_dir, exist_ok=True)
+    # in-flight background saves must commit before the run ends
+    checkpoints.wait_for_async_saves()
     final_path = checkpoints.save_weights(
         state.params, os.path.join(config.checkpoint_dir, f"{config.run_name}.npz")
     )

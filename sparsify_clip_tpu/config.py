@@ -114,6 +114,9 @@ class ExperimentConfig:
     log_backend: str = "auto"
     log_dir: str = "./logs"
     checkpoint_dir: str = "./models"
+    # Background (non-blocking) orbax saves for the periodic full-state
+    # checkpoints; the train loop keeps stepping during disk IO.
+    async_checkpoint: bool = False
     # Sparse embedding projection (north-star capability; OFF by default
     # — the reference's live code has no such projection, SURVEY.md §8):
     # "topk" keeps sparse_topk components per embedding, "l1" soft-

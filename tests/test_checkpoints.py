@@ -122,3 +122,19 @@ def test_torch_state_dict_mapping():
     assert flat["visual/conv1/kernel"].shape == (2, 2, 3, 6)
     assert flat["text/ln_final/ln/scale"].shape == (8,)
     assert not any(k.startswith("_unmapped") for k in flat if "ln_1" not in k and "_unmapped" not in k.split("/", 1)[0])
+
+
+def test_async_save_roundtrip(tmp_path):
+    from sparsify_clip_tpu.checkpoints import save_full_async, wait_for_async_saves
+
+    setup, mesh = _setup()
+    state, _ = setup.train_step(setup.state, _batch(mesh))
+    path = save_full_async(state, str(tmp_path / "ckpt"))
+    wait_for_async_saves()
+    assert latest_step(str(tmp_path / "ckpt")) == 1
+    restored = restore_full(path, state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
