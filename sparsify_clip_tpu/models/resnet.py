@@ -20,6 +20,7 @@ SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -85,11 +86,215 @@ class BatchNormHalf(nn.Module):
         )
 
 
+class _ConvKernel(nn.Module):
+    """Param holder: a 1×1 conv kernel under the standard ``kernel`` path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+            jnp.float32,
+        )
+
+
+class _BNState(nn.Module):
+    """Param/state holder with ``nn.BatchNorm``'s tree layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, ra_mean, ra_var
+
+
+_SPATIAL = (0, 1, 2)  # contract batch+spatial of NHWC
+
+
+def _conv1x1(x4, w2):
+    """1×1 NHWC conv with a (C_in, C_out) kernel — keeps conv layouts
+    end to end (a reshape-to-2D matmul forces a physical relayout of
+    the conv-tiled activations; measured +1-4 ms per RN50 block)."""
+    return jax.lax.conv_general_dilated(
+        x4, w2[None, None], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _folded_train_impl(eps, x4, w, scale, bias):
+    """Forward of the folded conv+BN (training stats from input moments)."""
+    n = x4.shape[0] * x4.shape[1] * x4.shape[2]
+    m_x = jnp.mean(x4, axis=_SPATIAL, dtype=jnp.float32)  # (K,)
+    second = (
+        jax.lax.dot_general(
+            x4, x4,
+            dimension_numbers=((_SPATIAL, _SPATIAL), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        / n
+    )  # (K,K) fp32
+    mean = m_x @ w
+    e2 = jnp.sum((second @ w) * w, axis=0)
+    var = e2 - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    d = inv * scale
+    w_folded = (w * d[None, :]).astype(x4.dtype)
+    shift = (bias - mean * d).astype(x4.dtype)
+    y = _conv1x1(x4, w_folded) + shift
+    return y, mean, var, (x4, w, scale, m_x, second, mean, inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _folded_train(eps, x4, w, scale, bias):
+    y, mean, var, _ = _folded_train_impl(eps, x4, w, scale, bias)
+    return y, mean, var
+
+
+def _folded_train_fwd(eps, x4, w, scale, bias):
+    y, mean, var, res = _folded_train_impl(eps, x4, w, scale, bias)
+    return (y, mean, var), res
+
+
+def _folded_train_bwd(eps, res, cts):
+    """Analytic BN-through-linear backward with minimal HBM traffic.
+
+    Standard training-mode BN backward is
+    ``dh = d·(g − Σg/N − ĥ·Σ(g·ĥ)/N)`` followed by ``dx = dh@Wᵀ`` and
+    ``dW = xᵀ@dh`` — three sweeps over the (N, C) tensors plus the
+    reductions.  Because ``h = x@W`` and elementwise per-channel scaling
+    commutes through the matmul, every reduction collapses onto
+    ``t = xᵀ@g`` (one MXU pass) and the rest is (K,K)/(K,C) algebra::
+
+        dx = g@Wfᵀ − x@A + r ,  A = W·diag(q)·Wᵀ  (tiny)
+        dW = t·d − m_x⊗(d·s1) − (S@W − m_x⊗mean)·(inv·d·s2)
+
+    so the big tensors (g, x) are read exactly twice each and ``h`` is
+    never needed — autodiff of the moment form instead materializes an
+    fp32 cotangent of x (measured +6 ms on RN50 layer1).
+
+    Cotangents for the returned (mean, var) are structurally zero —
+    they only feed the running-statistics update, which the caller
+    wraps in stop_gradient (matching flax BatchNorm, whose running
+    stats are non-differentiable state).
+    """
+    gy, _gmean, _gvar = cts
+    x4, w, scale, m_x, second, mean, inv = res
+    n = x4.shape[0] * x4.shape[1] * x4.shape[2]
+    dt = x4.dtype
+    d = inv * scale  # (C,)
+
+    t = jax.lax.dot_general(
+        x4, gy,
+        dimension_numbers=((_SPATIAL, _SPATIAL), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K,C)
+    s1 = jnp.sum(gy, axis=_SPATIAL, dtype=jnp.float32)  # (C,)
+    gh_sum = jnp.sum(w * t, axis=0)  # Σ g·h per channel
+    s2 = (gh_sum - mean * s1) * inv  # Σ g·ĥ
+    q = inv * d * s2 / n
+    a_small = (w * q[None, :]) @ w.T  # (K,K)
+    r = w @ (mean * q - d * s1 / n)  # (K,)
+    w_folded = w * d[None, :]
+
+    dx = (
+        _conv1x1(gy, w_folded.astype(dt).T)
+        - _conv1x1(x4, a_small.astype(dt))
+        + r.astype(dt)
+    )
+    sw = second @ w
+    dw = (
+        t * d[None, :]
+        - jnp.outer(m_x, d * s1)
+        - (sw - jnp.outer(m_x, mean)) * (inv * d * s2)[None, :]
+    )
+    return dx, dw, s2, s1
+
+
+_folded_train.defvjp(_folded_train_fwd, _folded_train_bwd)
+
+
+def _conv1x1_bn_folded(
+    parent: nn.Module,
+    x: jnp.ndarray,
+    features: int,
+    conv_name: str,
+    bn_name: str,
+    train: bool,
+    dtype: Dtype,
+    momentum: float = 0.9,
+    epsilon: float = 1e-5,
+) -> jnp.ndarray:
+    """1×1 conv + BatchNorm with the norm folded into the conv weights.
+
+    ``h = x @ W`` is linear, so BatchNorm's batch statistics over ``h``
+    are functions of the *input's* first and second moments::
+
+        mean(h)_o  = mean(x) @ W[:, o]
+        E[h²]_o    = W[:, o]ᵀ · E[x xᵀ] · W[:, o]
+        var        = E[h²] − mean(h)²          (flax's "fast variance")
+
+    ``E[x xᵀ]`` is a (C_in, C_in) matmul over the batch — for the
+    bottleneck's expanding conv (C_out = 4·C_in) that is 25% of the
+    conv's own FLOPs — after which the normalization is a per-output-
+    channel affine that folds into the conv kernel.  The conv output
+    ``h`` is therefore **never materialized**: at layer1 of RN50 that
+    deletes an HBM write+read of the block's largest tensor (411 MB at
+    bs256) per block in forward, and the BN backward reductions over it
+    (autodiff of this form reads only the small moments).  Same math as
+    conv→BN (reassociated sums; exact in fp32 to ~1e-6), same parameter
+    tree (``{conv_name}/kernel``, ``{bn_name}/{scale,bias}`` +
+    batch_stats) so checkpoints/torch-interop are unchanged.
+
+    Replaces the reference's conv3+bn3 and downsample conv+bn pairs
+    inside every bottleneck (open_clip ModifiedResNet, instantiated at
+    /root/reference/sparsify_clip.py:686).  Measured A/B on v5e
+    (scripts/bench_fold.py, bs256): layer1 mid block 11.5→9.0 ms
+    fwd+bwd, layer2 mid block 6.7→5.5 ms.
+    """
+
+    kernel = _ConvKernel(x.shape[-1], features, name=conv_name)()
+    scale, bias, ra_mean, ra_var = _BNState(features, name=bn_name)()
+
+    w = kernel[0, 0]  # (C_in, C_out) fp32
+    x4 = x.astype(dtype)
+    if train:
+        y, mean, var = _folded_train(epsilon, x4, w, scale, bias)
+        if not parent.is_initializing():
+            mean_s = jax.lax.stop_gradient(mean)
+            var_s = jax.lax.stop_gradient(var)
+            ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean_s
+            ra_var.value = momentum * ra_var.value + (1 - momentum) * var_s
+        return y
+
+    inv = jax.lax.rsqrt(ra_var.value + epsilon) * scale
+    shift = (bias - ra_mean.value * inv).astype(dtype)
+    w_folded = (w * inv[None, :]).astype(dtype)
+    return _conv1x1(x4, w_folded) + shift
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
     dtype: Dtype = jnp.float32
+    fold_bn3: bool = True  # fold bn3 into conv3 (same math, no h3 in HBM)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -113,18 +318,32 @@ class Bottleneck(nn.Module):
         out = nn.relu(bn("bn2")(out))
         if self.stride > 1:
             out = nn.avg_pool(out, (self.stride, self.stride), (self.stride, self.stride))
-        out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
-        out = bn("bn3")(out)
+        if self.fold_bn3:
+            out = _conv1x1_bn_folded(
+                self, out, out_ch, "conv3", "bn3", train, self.dtype
+            )
+        else:
+            out = nn.Conv(
+                out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+            )(out)
+            out = bn("bn3")(out)
 
         if self.stride > 1 or x.shape[-1] != out_ch:
             if self.stride > 1:
                 identity = nn.avg_pool(
                     identity, (self.stride, self.stride), (self.stride, self.stride)
                 )
-            identity = nn.Conv(
-                out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="downsample_conv"
-            )(identity)
-            identity = bn("downsample_bn")(identity)
+            if self.fold_bn3:
+                identity = _conv1x1_bn_folded(
+                    self, identity, out_ch, "downsample_conv", "downsample_bn",
+                    train, self.dtype,
+                )
+            else:
+                identity = nn.Conv(
+                    out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="downsample_conv",
+                )(identity)
+                identity = bn("downsample_bn")(identity)
 
         return nn.relu(out + identity)
 

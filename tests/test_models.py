@@ -148,3 +148,68 @@ def test_full_model_shapes_via_eval_shape(name, want_embed):
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         create_model("GPT-7")
+
+
+class TestFoldedConvBN:
+    """conv3+bn3 folded through the input moments == plain conv->BN.
+
+    The fold (models/resnet.py::_conv1x1_bn_folded) reassociates the
+    batch statistics of a linear map; in fp32 the two forms agree to
+    accumulation order.  Checked: forward, updated batch_stats, and
+    all parameter gradients, on both a stride-1 and a stride-2 block.
+    """
+
+    def _pair(self, stride):
+        from sparsify_clip_tpu.models.resnet import Bottleneck
+
+        folded = Bottleneck(planes=4, stride=stride, fold_bn3=True)
+        plain = Bottleneck(planes=4, stride=stride, fold_bn3=False)
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((4, 8, 8, 16)), jnp.float32
+        )
+        variables = plain.init(jax.random.PRNGKey(2), x, train=True)
+        # identical trees by construction
+        v2 = folded.init(jax.random.PRNGKey(2), x, train=True)
+        assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+        return folded, plain, variables, x
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_forward_and_stats_match(self, stride):
+        folded, plain, variables, x = self._pair(stride)
+        y1, s1 = plain.apply(variables, x, train=True, mutable=["batch_stats"])
+        y2, s2 = folded.apply(variables, x, train=True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-4, atol=2e-5)
+        jax.tree_util.tree_map_with_path(
+            lambda k, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5, err_msg=str(k)
+            ),
+            s1, s2,
+        )
+
+    def test_eval_mode_matches(self):
+        folded, plain, variables, x = self._pair(1)
+        y1 = plain.apply(variables, x, train=False)
+        y2 = folded.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_grads_match(self, stride):
+        folded, plain, variables, x = self._pair(stride)
+
+        def loss(model):
+            def f(p):
+                y, _ = model.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(jnp.tanh(y))
+            return f
+
+        g1 = jax.grad(loss(plain))(variables["params"])
+        g2 = jax.grad(loss(folded))(variables["params"])
+        jax.tree_util.tree_map_with_path(
+            lambda k, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=str(k)
+            ),
+            g1, g2,
+        )
