@@ -105,6 +105,61 @@ def test_dp_vs_tp_train_step_equality():
     np.testing.assert_allclose(txt_dp, txt_tp, rtol=2e-3, atol=5e-5)
 
 
+MODEL_REGISTRY.setdefault(
+    "rn-tiny",
+    CLIPConfig(
+        name="rn-tiny", embed_dim=16, vision_kind="resnet", image_size=32,
+        vision_width=8, vision_layers=(1, 1, 1, 1), vision_heads=4,
+        vocab_size=256, context_length=12, text_width=16, text_heads=2,
+        text_layers=2,
+    ),
+)
+
+
+def _make_rn(dp: int):
+    cfg = ExperimentConfig.from_dict({
+        "model": "rn-tiny", "batch_size": 16, "epochs": 2,
+        "learning_rate": 1e-3, "seed": 0, "fp16": False,
+        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
+        "only_lunif_epochs": 1,
+        "mesh_data": dp, "mesh_model": 1,
+    })
+    mesh = create_mesh(data=dp, model=1, devices=jax.devices()[:dp])
+    return create_train_setup(cfg, steps_per_epoch=4, mesh=mesh), mesh
+
+
+@pytest.mark.slow
+def test_rn_folded_bn_global_stats_dp8_vs_dp1():
+    """BatchNorm in the RN tower — including the folded conv+BN path,
+    whose statistics come from a dot_general over the batch axis — must
+    compute GLOBAL batch statistics when the batch is sharded dp=8;
+    XLA's partitioner psums the moment reductions.  Pins the per-step
+    loss trajectory AND the running batch_stats tree across meshes
+    (replaces the reference's single-device BatchNorm semantics,
+    sparsify_clip.py:703 + SURVEY.md §2.4)."""
+    setup8, mesh8 = _make_rn(8)
+    setup1, mesh1 = _make_rn(1)
+
+    host_batch = _batch()
+    state8, state1 = setup8.state, setup1.state
+    for _ in range(2):
+        state8, m8 = setup8.train_step(state8, shard_batch(host_batch, mesh8))
+        state1, m1 = setup1.train_step(state1, shard_batch(host_batch, mesh1))
+        assert float(m8["train_loss"]) == pytest.approx(
+            float(m1["train_loss"]), rel=1e-4
+        )
+
+    # fp32 reduction order differs between the meshes and the step-1
+    # param drift compounds into step-2's statistics — same ~1e-3 band
+    # as the dp-vs-tp embedding check above.
+    jax.tree_util.tree_map_with_path(
+        lambda k, a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5, err_msg=str(k)
+        ),
+        state8.batch_stats, state1.batch_stats,
+    )
+
+
 def _einsum_ref(qkv, heads, causal):
     from sparsify_clip_tpu.ops.pallas_attention import attention_core
 
