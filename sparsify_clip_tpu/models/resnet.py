@@ -43,6 +43,11 @@ class BatchNormHalf(nn.Module):
     single per-channel multiply-add in the compute dtype, fusable into
     the producing conv's epilogue.
 
+    Backward is plain autodiff: a hand-written closed-form training
+    VJP was A/B'd on the real chip and measured NEUTRAL on the full
+    RN50 step (149.4 vs 148.5 ms — XLA already fuses the stats-path
+    cotangent), so it was dropped for simplicity.
+
     Same param/batch_stats tree names as ``nn.BatchNorm``
     (scale/bias, mean/var), same momentum convention
     (``ra = m*ra + (1-m)*batch``) and the same E[x²]−E[x]² "fast

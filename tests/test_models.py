@@ -150,6 +150,84 @@ def test_unknown_model_raises():
         create_model("GPT-7")
 
 
+class TestBatchNormHalf:
+    """BatchNormHalf (fp32 stats, custom closed-form training VJP) must
+    match flax ``nn.BatchNorm`` in fp32: forward, updated batch_stats,
+    and gradients w.r.t. x/scale/bias."""
+
+    def _setup(self):
+        import flax.linen as nn
+
+        from sparsify_clip_tpu.models.resnet import BatchNormHalf
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(
+            rng.standard_normal((8, 6, 6, 12)) * 2.0 + 0.5, jnp.float32
+        )
+        bn_h = BatchNormHalf(use_running_average=False, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32)
+        bn_f = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.float32)
+        params = {
+            "scale": jnp.asarray(rng.uniform(0.5, 1.5, 12), jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(12) * 0.3, jnp.float32),
+        }
+        stats = {
+            "mean": jnp.asarray(rng.standard_normal(12) * 0.1, jnp.float32),
+            "var": jnp.asarray(rng.uniform(0.5, 2.0, 12), jnp.float32),
+        }
+        variables = {"params": params, "batch_stats": stats}
+        return bn_h, bn_f, variables, x
+
+    def test_forward_and_stats(self):
+        bn_h, bn_f, variables, x = self._setup()
+        y_h, s_h = bn_h.apply(variables, x, mutable=["batch_stats"])
+        y_f, s_f = bn_f.apply(variables, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(y_h), np.asarray(y_f), rtol=1e-5, atol=1e-6
+        )
+        jax.tree_util.tree_map_with_path(
+            lambda k, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+                err_msg=str(k),
+            ),
+            s_h, s_f,
+        )
+
+    def test_grads_match_autodiff_reference(self):
+        bn_h, bn_f, variables, x = self._setup()
+
+        def loss(bn):
+            def f(params, x):
+                y, _ = bn.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x, mutable=["batch_stats"],
+                )
+                return jnp.sum(jnp.tanh(y))
+            return f
+
+        g_h = jax.grad(loss(bn_h), argnums=(0, 1))(variables["params"], x)
+        g_f = jax.grad(loss(bn_f), argnums=(0, 1))(variables["params"], x)
+        jax.tree_util.tree_map_with_path(
+            lambda k, a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                err_msg=str(k),
+            ),
+            g_h, g_f,
+        )
+
+    def test_eval_mode_matches(self):
+        bn_h, bn_f, variables, x = self._setup()
+        y_h = dataclasses.replace(bn_h, use_running_average=True).apply(
+            variables, x
+        )
+        y_f = bn_f.clone(use_running_average=True).apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(y_h), np.asarray(y_f), rtol=1e-5, atol=1e-6
+        )
+
+
 class TestFoldedConvBN:
     """conv3+bn3 folded through the input moments == plain conv->BN.
 
