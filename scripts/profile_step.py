@@ -72,6 +72,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ViT-B-32")
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block rematerialization (ViT-L-class memory)")
     args = ap.parse_args()
 
     import jax
@@ -101,7 +103,7 @@ def main():
         "learning_rate": 1e-4,
         "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
         "only_lunif_epochs": 1, "anchor_temperature": 0.1,
-        "fp16": True, "seed": 42,
+        "fp16": True, "seed": 42, "remat": args.remat,
     })
     mesh = create_mesh(data=1, model=1)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
