@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Serving throughput: jitted encode_image / encode_text rates.
+
+Measures the deployment path (`inference.CLIPEncoder`'s jitted
+normalized-embedding encoders, eval mode / running BN stats) on
+device-resident batches with a device->host fence, per model.
+
+Usage: python scripts/bench_inference.py [--models ViT-B-32,RN50] [--batch 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+
+
+def fence(x):
+    return float(np.asarray(x).ravel()[0])
+
+
+def timed(fn, *args, steps=20, warmup=3):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    fence(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    fence(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="ViT-B-32,RN50")
+    ap.add_argument("--batch", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparsify_clip_tpu.models import create_model
+    from sparsify_clip_tpu.utils.numerics import l2_normalize
+
+    rng = np.random.default_rng(0)
+    out = {"batch": args.batch, "backend": jax.default_backend(), "models": {}}
+
+    for name in args.models.split(","):
+        model, variables = create_model(name, dtype=jnp.bfloat16)
+        size = model.cfg.image_size
+        images = jnp.asarray(
+            rng.standard_normal((args.batch, size, size, 3)), jnp.float32)
+        tokens = rng.integers(
+            1, model.cfg.vocab_size - 10,
+            size=(args.batch, model.cfg.context_length)).astype(np.int32)
+        tokens[:, 0] = model.cfg.vocab_size - 2
+        tokens[:, -1] = model.cfg.vocab_size - 1
+        tokens = jnp.asarray(tokens)
+
+        @jax.jit
+        def enc_img(v, x, model=model):
+            return jnp.sum(
+                l2_normalize(
+                    model.apply(v, x, method=model.encode_image)
+                ).astype(jnp.float32)
+            )
+
+        @jax.jit
+        def enc_txt(v, t, model=model):
+            return jnp.sum(
+                l2_normalize(
+                    model.apply(v, t, method=model.encode_text)
+                ).astype(jnp.float32)
+            )
+
+        t_i = timed(enc_img, variables, images)
+        t_t = timed(enc_txt, variables, tokens)
+        out["models"][name] = {
+            "encode_image_ms": round(t_i * 1e3, 2),
+            "images_per_sec": round(args.batch / t_i, 1),
+            "encode_text_ms": round(t_t * 1e3, 2),
+            "texts_per_sec": round(args.batch / t_t, 1),
+        }
+        print(json.dumps({name: out["models"][name]}), flush=True)
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
