@@ -116,15 +116,15 @@ MODEL_REGISTRY.setdefault(
 )
 
 
-def _make_rn(dp: int):
+def _make_rn(dp: int, tp: int = 1):
     cfg = ExperimentConfig.from_dict({
         "model": "rn-tiny", "batch_size": 16, "epochs": 2,
         "learning_rate": 1e-3, "seed": 0, "fp16": False,
         "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
         "only_lunif_epochs": 1,
-        "mesh_data": dp, "mesh_model": 1,
+        "mesh_data": dp, "mesh_model": tp,
     })
-    mesh = create_mesh(data=dp, model=1, devices=jax.devices()[:dp])
+    mesh = create_mesh(data=dp, model=tp, devices=jax.devices()[: dp * tp])
     return create_train_setup(cfg, steps_per_epoch=4, mesh=mesh), mesh
 
 
@@ -158,6 +158,30 @@ def test_rn_folded_bn_global_stats_dp8_vs_dp1():
         ),
         state8.batch_stats, state1.batch_stats,
     )
+
+
+@pytest.mark.slow
+def test_rn_dp_vs_tp_train_step_equality():
+    """RN tower under dp=4×tp=2 == dp=8: the TP rules row-shard the
+    attnpool's ``c_proj`` and the text tower's matmuls while the conv
+    kernels replicate — a layout change only.  Pins the reference's
+    default model family (RN50, sparsify_clip.py:686) under the
+    combined mesh, not just the ViT towers."""
+    setup_dp, mesh_dp = _make_rn(8, 1)
+    setup_tp, mesh_tp = _make_rn(4, 2)
+
+    host_batch = _batch()
+    state_dp, state_tp = setup_dp.state, setup_tp.state
+    for _ in range(2):
+        state_dp, m_dp = setup_dp.train_step(
+            state_dp, shard_batch(host_batch, mesh_dp)
+        )
+        state_tp, m_tp = setup_tp.train_step(
+            state_tp, shard_batch(host_batch, mesh_tp)
+        )
+        assert float(m_dp["train_loss"]) == pytest.approx(
+            float(m_tp["train_loss"]), rel=1e-4
+        )
 
 
 def _einsum_ref(qkv, heads, causal):
