@@ -123,6 +123,8 @@ def main():
         cost = setup.train_step.lower(state, batch).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
+        if cost is None:  # axon backend: no cost model exposed
+            raise AttributeError("cost_analysis returned None")
         out["xla_step_gflops"] = round(cost.get("flops", 0.0) / 1e9, 1)
         out["xla_step_hbm_gb"] = round(
             cost.get("bytes accessed", 0.0) / 1e9, 2)
