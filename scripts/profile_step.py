@@ -110,11 +110,12 @@ def main():
     model, state = setup.model, setup.state
 
     rng = np.random.default_rng(0)
+    size = model.cfg.image_size  # 288/384 for RN50x4/x16
     tokens = rng.integers(1, 49000, size=(args.batch, 77)).astype(np.int32)
     tokens[:, 0], tokens[:, -1] = 49406, 49407
     batch = shard_batch({
         "images": rng.standard_normal(
-            (args.batch, 224, 224, 3)).astype(np.float32),
+            (args.batch, size, size, 3)).astype(np.float32),
         "tokens": tokens,
     }, mesh)
 
