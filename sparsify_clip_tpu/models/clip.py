@@ -99,8 +99,9 @@ class CLIP(nn.Module):
 
     cfg: CLIPConfig
     dtype: Any = jnp.float32
-    # Per-block rematerialization in the transformer towers (memory for
-    # recompute; needed for per-chip batches >= 512 on 16G HBM).
+    # Per-block rematerialization in all towers (memory for recompute;
+    # needed for ViT-B per-chip batches >= 512 and for RN50x16's 384²
+    # activations on 16G HBM).
     remat: bool = False
     # fp32 LayerNorm statistics (quality default; bf16 measured no
     # faster on v5e — knob retained for experimentation).
@@ -116,6 +117,7 @@ class CLIP(nn.Module):
                 embed_dim=self.cfg.embed_dim,
                 heads=self.cfg.vision_heads,
                 dtype=self.dtype,
+                remat=self.remat,
             )
         elif self.cfg.vision_kind == "vit":
             self.visual = VisionTransformer(

@@ -403,6 +403,9 @@ class ModifiedResNet(nn.Module):
     embed_dim: int = 1024
     heads: int = 32  # attnpool heads = width * 32 // 64
     dtype: Dtype = jnp.float32
+    # Per-bottleneck rematerialization (memory for recompute) — the
+    # high-resolution RN50x16 (384²) OOMs at bs64 without it.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -436,16 +439,20 @@ class ModifiedResNet(nn.Module):
         x = nn.relu(bn("stem_bn3")(x))
         x = nn.avg_pool(x, (2, 2), (2, 2))
 
+        block_cls = Bottleneck
+        if self.remat:
+            # (self, x, train): train is a static python bool
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
         planes = self.width
         for stage, blocks in enumerate(self.layers):
             stride = 1 if stage == 0 else 2
             for block in range(blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if block == 0 else 1,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{block}",
-                )(x, train=train)
+                )(x, train)
             planes *= 2
 
         # final width = width * 32 (2048 for RN50)

@@ -150,6 +150,32 @@ def test_unknown_model_raises():
         create_model("GPT-7")
 
 
+def test_rn_remat_numerics_neutral():
+    """remat on the RN tower is memory-for-recompute only: identical
+    outputs and param grads (it OOM-gates RN50x16 @384², BASELINE.md)."""
+    model_p, variables, images, tokens = _init(TINY_RN)
+    model_r = CLIP(cfg=TINY_RN, dtype=jnp.float32, remat=True)
+
+    def loss_fn(model):
+        def f(params):
+            (img, txt), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                images, tokens, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(jnp.tanh(img)) + jnp.sum(jnp.tanh(txt))
+        return f
+
+    l_p, g_p = jax.value_and_grad(loss_fn(model_p))(variables["params"])
+    l_r, g_r = jax.value_and_grad(loss_fn(model_r))(variables["params"])
+    assert float(l_p) == pytest.approx(float(l_r), rel=1e-6)
+    jax.tree_util.tree_map_with_path(
+        lambda k, a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7, err_msg=str(k)
+        ),
+        g_p, g_r,
+    )
+
+
 class TestBatchNormHalf:
     """BatchNormHalf (fp32 stats, custom closed-form training VJP) must
     match flax ``nn.BatchNorm`` in fp32: forward, updated batch_stats,
