@@ -98,6 +98,14 @@ class ExperimentConfig:
     # Staging resolution for device_augment uint8 images (host squash-
     # resizes decoded JPEGs to this size before batching).
     device_augment_staging: int = 256
+    # GradCache-style gradient accumulation: encoders run in
+    # grad_accum_steps sequential microbatches while the contrastive
+    # loss still sees the FULL batch's B×B pair matrix (two-pass
+    # embedding-cotangent scheme), so activation memory scales with the
+    # microbatch but the loss is exactly the large-batch loss.  1 = off
+    # (reference semantics; accumulation is an extension — the
+    # reference has no equivalent).
+    grad_accum_steps: int = 1
     # Optional path to the real CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz).
     bpe_vocab_path: Optional[str] = None
     # Tokenizer backend: "python" (golden; full Unicode), "native" (C++
@@ -192,6 +200,15 @@ class ExperimentConfig:
             )
         if not isinstance(self.learning_rate, float):
             raise ValueError("learning_rate must be a float after coercion")
+        if self.grad_accum_steps < 1:
+            raise ValueError(
+                f"grad_accum_steps must be >= 1, got {self.grad_accum_steps}"
+            )
+        if self.batch_size % max(self.grad_accum_steps, 1):
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by "
+                f"grad_accum_steps {self.grad_accum_steps}"
+            )
 
     # Convenience ------------------------------------------------------
     @property

@@ -182,10 +182,105 @@ def make_train_step(
             loss, aux = loss_core(img, txt, ctx)
             return loss, (aux, new_bn)
 
+        def encode_micro(params, bn, imgs, toks):
+            """One microbatch through both encoders → normalized embeddings."""
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = bn
+                (img, txt), mutated = model.apply(
+                    variables, imgs, toks, train=True, mutable=["batch_stats"]
+                )
+                return l2_normalize(img), l2_normalize(txt), mutated["batch_stats"]
+            img, txt = model.apply(variables, imgs, toks, train=True)
+            return l2_normalize(img), l2_normalize(txt), bn
+
+        def loss_from_embeddings(img, txt, temp):
+            if projection is not None:
+                active = epoch >= config.sparse_after_epoch
+                img, txt = jax.lax.cond(
+                    active,
+                    lambda i, t: (projection(i), projection(t)),
+                    lambda i, t: (i, t),
+                    img, txt,
+                )
+            ctx = LossContext(
+                temperature=temp, beta=beta, alpha=alpha, warm=warm,
+                soft_targets=batch.get("soft_targets"),
+            )
+            return loss_core(img, txt, ctx)
+
+        def gradcache_value_and_grad(trainables):
+            """GradCache two-pass accumulation (Gao et al. 2021 scheme,
+            re-derived for jax.lax.scan): pass 1 streams the encoders
+            over ``grad_accum_steps`` microbatches without residuals;
+            the B×B loss and its embedding cotangents are computed on
+            the FULL batch (exactly the large-batch loss — naive
+            microbatch accumulation would change the contrastive
+            objective, which couples every pair); pass 2 re-runs each
+            microbatch under jax.vjp with its cotangent slice and sums
+            the param grads.  Peak activation memory scales with the
+            microbatch; compute cost is one extra encoder forward.  For
+            BN towers, batch statistics are per-microbatch (the
+            standard accumulation semantics — documented delta vs one
+            huge batch)."""
+            A = config.grad_accum_steps
+            mb = images.shape[0] // A
+            params = trainables["model"]
+
+            def p1(bn, i):
+                im = jax.lax.dynamic_slice_in_dim(images, i * mb, mb)
+                tk = jax.lax.dynamic_slice_in_dim(batch["tokens"], i * mb, mb)
+                img, txt, bn_out = encode_micro(params, bn, im, tk)
+                return bn_out, (img, txt, bn)
+
+            final_bn, (img_mb, txt_mb, bns_in) = jax.lax.scan(
+                p1, state.batch_stats, jnp.arange(A)
+            )
+            img_all = img_mb.reshape(images.shape[0], -1)
+            txt_all = txt_mb.reshape(images.shape[0], -1)
+
+            temp = (
+                trainables["temperature"] if learnable_temp
+                else jnp.float32(config.anchor_temperature)
+            )
+            (loss, aux), (d_img, d_txt, d_temp) = jax.value_and_grad(
+                loss_from_embeddings, argnums=(0, 1, 2), has_aux=True
+            )(img_all, txt_all, temp)
+            d_img = d_img.reshape(A, mb, -1)
+            d_txt = d_txt.reshape(A, mb, -1)
+
+            def p2(acc, xs):
+                i, bn_i, di, dti = xs
+                im = jax.lax.dynamic_slice_in_dim(images, i * mb, mb)
+                tk = jax.lax.dynamic_slice_in_dim(batch["tokens"], i * mb, mb)
+
+                def f(p):
+                    img, txt, _ = encode_micro(p, bn_i, im, tk)
+                    return img, txt
+
+                _, vjp = jax.vjp(f, params)
+                (gp,) = vjp((di, dti))
+                return (
+                    jax.tree_util.tree_map(lambda a, b: a + b, acc, gp),
+                    None,
+                )
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads_model, _ = jax.lax.scan(
+                p2, zero, (jnp.arange(A), bns_in, d_img, d_txt)
+            )
+            grads = {"model": grads_model}
+            if learnable_temp:
+                grads["temperature"] = d_temp
+            return (loss, (aux, final_bn)), grads
+
         trainables = _trainables(state, learnable_temp)
-        (loss, (aux, new_bn)), grads = jax.value_and_grad(loss_of, has_aux=True)(
-            trainables
-        )
+        if config.grad_accum_steps > 1:
+            (loss, (aux, new_bn)), grads = gradcache_value_and_grad(trainables)
+        else:
+            (loss, (aux, new_bn)), grads = jax.value_and_grad(
+                loss_of, has_aux=True
+            )(trainables)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, trainables)
         new_trainables = optax.apply_updates(trainables, updates)
 

@@ -188,3 +188,77 @@ def test_anchor_roberta_train_step():
     state, metrics = setup.train_step(setup.state, batch)
     assert np.isfinite(float(metrics["train_loss"]))
     assert int(state.step) == 1
+
+
+def test_grad_accum_matches_full_batch():
+    """GradCache accumulation (grad_accum_steps=2) must produce the SAME
+    loss and the same post-step params as the one-shot full batch — the
+    B×B contrastive loss still couples every pair across microbatches
+    (naive microbatch accumulation would not satisfy this)."""
+    cfg1 = _config(loss_type="only_lunif_n_then_anchor+lalign+lunif(centroids)",
+                   only_lunif_epochs=1)
+    cfg2 = _config(loss_type="only_lunif_n_then_anchor+lalign+lunif(centroids)",
+                   only_lunif_epochs=1, grad_accum_steps=2)
+    mesh = create_mesh(data=8, model=1)
+    setup1 = create_train_setup(cfg1, steps_per_epoch=2, mesh=mesh)
+    setup2 = create_train_setup(cfg2, steps_per_epoch=2, mesh=mesh)
+    host = _batch()
+    s1, s2 = setup1.state, setup2.state
+    # 3 steps crosses the warm-phase boundary (steps_per_epoch=2)
+    for _ in range(3):
+        s1, m1 = setup1.train_step(s1, shard_batch(host, mesh))
+        s2, m2 = setup2.train_step(s2, shard_batch(host, mesh))
+        assert float(m1["train_loss"]) == pytest.approx(
+            float(m2["train_loss"]), rel=2e-5
+        )
+    # Functional equality of the trained params (raw trees are not
+    # compared: the attention k-bias gradient is analytically zero, so
+    # AdamW turns its ~1e-10 numeric-noise grads — which differ between
+    # the fused and two-pass backward — into lr-scale updates on those
+    # functionally-dead parameters; same caveat as the dp-vs-tp test).
+    model = setup1.model
+    held = _batch()
+
+    def embed(state):
+        img, txt = model.apply(
+            {"params": state.params},
+            jnp.asarray(held["images"]), jnp.asarray(held["tokens"]),
+            train=False,
+        )
+        return np.asarray(img), np.asarray(txt)
+
+    i1, t1 = embed(s1)
+    i2, t2 = embed(s2)
+    np.testing.assert_allclose(i1, i2, rtol=2e-3, atol=5e-5)
+    np.testing.assert_allclose(t1, t2, rtol=2e-3, atol=5e-5)
+
+
+def test_grad_accum_learnable_temperature_and_rn():
+    """Accumulation also covers the learnable raw temperature (grad via
+    the loss block) and runs on a BN tower (per-microbatch statistics)."""
+    cfg = _config(anchor_temperature_learnable=True, grad_accum_steps=4)
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    state, metrics = setup.train_step(setup.state, shard_batch(_batch(), mesh))
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert float(state.temperature) != 0.1  # temperature got a gradient
+
+    from sparsify_clip_tpu.models.clip import CLIPConfig as CC
+    MODEL_REGISTRY.setdefault(
+        "test-tiny-rn",
+        CC(name="test-tiny-rn", embed_dim=16, vision_kind="resnet",
+           image_size=32, vision_width=8, vision_layers=(1, 1, 1, 1),
+           vision_heads=4, vocab_size=256, context_length=12,
+           text_width=16, text_heads=2, text_layers=2),
+    )
+    cfg_rn = _config(model="test-tiny-rn", grad_accum_steps=2)
+    setup_rn = create_train_setup(cfg_rn, steps_per_epoch=4, mesh=mesh)
+    # snapshot BEFORE the step — the input state is donated
+    var0 = np.asarray(jax.tree_util.tree_leaves(setup_rn.state.batch_stats)[0])
+    state_rn, m_rn = setup_rn.train_step(
+        setup_rn.state, shard_batch(_batch(), mesh)
+    )
+    assert np.isfinite(float(m_rn["train_loss"]))
+    # running stats advanced (per-microbatch semantics)
+    var1 = np.asarray(jax.tree_util.tree_leaves(state_rn.batch_stats)[0])
+    assert not np.allclose(var0, var1)
