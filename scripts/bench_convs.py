@@ -14,17 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import sys
-import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+from _bench import fence, timed  # noqa: E402  (shared fenced timing)
 
-
-def fence(x):
-    return float(np.asarray(x).ravel()[0])
 
 
 def main():
@@ -73,40 +67,37 @@ def main():
                     h, w_b, (1, 1), pad, dimension_numbers=dn) * 0.5
             return jnp.sum(acc.astype(jnp.float32))
 
-        # dW shape: contract batch+spatial of x against cotangent g
-        g = jnp.asarray(
-            rng.standard_normal((B, hw, hw, cout)) * 0.1, jnp.bfloat16)
+        # dW shape: contract batch+spatial of x against cotangent g.
+        # chain DISTINCT pre-built cotangents so XLA cannot CSE the
+        # iterations — perturbing x inside the timed loop instead would
+        # add a read+write of x per iteration and understate the
+        # HBM-bound 1×1 rates this script exists to attribute.
+        gs = [
+            jnp.asarray(
+                rng.standard_normal((B, hw, hw, cout)) * 0.1, jnp.bfloat16)
+            for _ in range(chain)
+        ]
 
         @jax.jit
-        def dw(x, g, k=k, pad=pad):
+        def dw(x, gs, k=k, pad=pad):
             acc = jnp.zeros((), jnp.float32)
-            xx, gg = x, g
-            for i in range(chain):
+            for gg in gs:
                 # dW via the transpose conv XLA autodiff emits (the
                 # objective is linear in w, so grad at zeros == dW):
                 grad = jax.grad(
                     lambda w: jnp.sum(
                         jax.lax.conv_general_dilated(
-                            xx, w, (1, 1), pad, dimension_numbers=dn) * gg
+                            x, w, (1, 1), pad, dimension_numbers=dn) * gg
                     )
-                )(jnp.zeros((k, k, xx.shape[-1], gg.shape[-1]), jnp.bfloat16))
+                )(jnp.zeros((k, k, x.shape[-1], gg.shape[-1]), jnp.bfloat16))
                 acc = acc + jnp.sum(grad.astype(jnp.float32))
-                xx = xx * (1.0 + 1e-6 * i)  # keep iterations distinct
             return acc
-
-        def timed(fn, *a):
-            fence(fn(*a))
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                o = fn(*a)
-            fence(o)
-            return (time.perf_counter() - t0) / args.steps
 
         n_out = B * hw * hw
         flops_one = 2 * n_out * (k * k * cin) * cout
-        t_f = timed(fwd, x)
+        t_f = timed(fwd, x, steps=args.steps, warmup=1)
         tf_fwd = flops_one * 2 * chain / t_f / 1e12  # 2 convs per link
-        t_w = timed(dw, x, g)
+        t_w = timed(dw, x, gs, steps=args.steps, warmup=1)
         tf_dw = flops_one * chain / t_w / 1e12
         out["convs"][name] = {
             "fwd_tf": round(tf_fwd, 1),

@@ -10,17 +10,12 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+from _bench import fence, timed  # noqa: E402  (shared fenced timing)
 
-
-def fence(x):
-    return float(np.asarray(x).ravel()[0])
 
 
 def main():

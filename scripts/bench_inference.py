@@ -12,29 +12,10 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import sys
-import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
-
-
-def fence(x):
-    return float(np.asarray(x).ravel()[0])
-
-
-def timed(fn, *args, steps=20, warmup=3):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    fence(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    fence(out)
-    return (time.perf_counter() - t0) / steps
+from _bench import fence, timed  # noqa: E402  (shared fenced timing)
 
 
 def main():
@@ -80,8 +61,8 @@ def main():
                 ).astype(jnp.float32)
             )
 
-        t_i = timed(enc_img, variables, images)
-        t_t = timed(enc_txt, variables, tokens)
+        t_i = timed(enc_img, variables, images, steps=20, warmup=3)
+        t_t = timed(enc_txt, variables, tokens, steps=20, warmup=3)
         out["models"][name] = {
             "encode_image_ms": round(t_i * 1e3, 2),
             "images_per_sec": round(args.batch / t_i, 1),

@@ -1,42 +1,25 @@
 #!/usr/bin/env python
 """Per-stage forward AND backward profile of the RN50 vision tower.
 
-Builds truncated towers (stem, stem+layer1, ..., full+attnpool) and
-times forward and forward+backward for each; successive differences
-attribute wall time per stage for both passes.  This is the measured
-evidence for where the RN50 step's backward milliseconds go (the
-reference's default model, experiment_*.yaml `model: "RN50"`).
+Builds truncated towers via ``ModifiedResNet(stop_after=...)`` — the
+REAL module, so model changes (BN fold, remat, stem tweaks) are always
+reflected — and times forward and forward+backward for each;
+successive differences attribute wall time per stage for both passes.
+This is the measured evidence for where the RN50 step's backward
+milliseconds go (the reference's default model,
+experiment_*.yaml `model: "RN50"`).
 
-Usage: python scripts/profile_rn50.py [--batch 256] [--stages all]
+Usage: python scripts/profile_rn50.py [--batch 256]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import os
-import sys
-import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
-
-
-def fence(x):
-    return float(np.asarray(x).ravel()[0])
-
-
-def timed(fn, *args, steps=10, warmup=2):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    fence(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    fence(out)
-    return (time.perf_counter() - t0) / steps
+from _bench import fence, timed  # noqa: E402  (shared fenced timing)
 
 
 def main():
@@ -47,64 +30,10 @@ def main():
                     help="profile just the stem stage")
     args = ap.parse_args()
 
-    import flax.linen as nn
     import jax
     import jax.numpy as jnp
 
-    from sparsify_clip_tpu.models.resnet import (
-        AttentionPool2d,
-        BatchNormHalf,
-        Bottleneck,
-    )
-
-    dtype = jnp.bfloat16
-
-    class Truncated(nn.Module):
-        """ModifiedResNet truncated after `upto` stages.
-
-        upto: 0=stem only, 1..4 = through layer{upto}, 5 = + attnpool.
-        Mirrors models/resnet.py::ModifiedResNet exactly.
-        """
-
-        upto: int
-        layers = (3, 4, 6, 3)
-        width = 64
-
-        @nn.compact
-        def __call__(self, x, train=True):
-            def bn(name):
-                return BatchNormHalf(
-                    use_running_average=not train, momentum=0.9,
-                    epsilon=1e-5, dtype=dtype, name=name,
-                )
-
-            x = x.astype(dtype)
-            x = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
-                        dtype=dtype, name="stem_conv1")(x)
-            x = nn.relu(bn("stem_bn1")(x))
-            x = nn.Conv(32, (3, 3), padding=1, use_bias=False,
-                        dtype=dtype, name="stem_conv2")(x)
-            x = nn.relu(bn("stem_bn2")(x))
-            x = nn.Conv(64, (3, 3), padding=1, use_bias=False,
-                        dtype=dtype, name="stem_conv3")(x)
-            x = nn.relu(bn("stem_bn3")(x))
-            x = nn.avg_pool(x, (2, 2), (2, 2))
-            planes = 64
-            for stage, blocks in enumerate(self.layers):
-                if stage + 1 > self.upto:
-                    return x
-                stride = 1 if stage == 0 else 2
-                for block in range(blocks):
-                    x = Bottleneck(
-                        planes=planes, stride=stride if block == 0 else 1,
-                        dtype=dtype, name=f"layer{stage + 1}_block{block}",
-                    )(x, train=train)
-                planes *= 2
-            if self.upto >= 5:
-                x = AttentionPool2d(embed_dim=2048, num_heads=32,
-                                    output_dim=1024, dtype=dtype,
-                                    name="attnpool")(x)
-            return x
+    from sparsify_clip_tpu.models.resnet import ModifiedResNet
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -115,16 +44,19 @@ def main():
     out = {"batch": args.batch, "backend": jax.default_backend(), "stages": {}}
     prev_f = prev_g = 0.0
     for upto, name in enumerate(names):
-        model = Truncated(upto=upto)
+        model = ModifiedResNet(
+            dtype=jnp.bfloat16,
+            stop_after=None if upto >= 5 else upto,
+        )
         variables = model.init(jax.random.PRNGKey(0), images[:2], train=True)
 
         @jax.jit
-        def fwd(v, x):
+        def fwd(v, x, model=model):
             y, _ = model.apply(v, x, train=True, mutable=["batch_stats"])
             return jnp.sum(y.astype(jnp.float32))
 
         @jax.jit
-        def fwdbwd(v, x):
+        def fwdbwd(v, x, model=model):
             def loss(p):
                 y, _ = model.apply(
                     {"params": p, "batch_stats": v["batch_stats"]},

@@ -19,29 +19,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
-
-
-def fence(x):
-    return float(np.asarray(x).ravel()[0])
-
-
-def timed(fn, *args, steps=10, warmup=2):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    fence(out[0] if isinstance(out, tuple) else out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    fence(out[0] if isinstance(out, tuple) else out)
-    return (time.perf_counter() - t0) / steps
+from _bench import fence, timed  # noqa: E402  (shared fenced timing)
 
 
 def matmul_sustained(jax, jnp, shapes, chain=8):

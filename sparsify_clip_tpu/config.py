@@ -204,7 +204,7 @@ class ExperimentConfig:
             raise ValueError(
                 f"grad_accum_steps must be >= 1, got {self.grad_accum_steps}"
             )
-        if self.batch_size % max(self.grad_accum_steps, 1):
+        if self.batch_size % self.grad_accum_steps:
             raise ValueError(
                 f"batch_size {self.batch_size} not divisible by "
                 f"grad_accum_steps {self.grad_accum_steps}"

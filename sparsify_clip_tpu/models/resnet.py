@@ -155,8 +155,11 @@ def _folded_train_impl(eps, x4, w, scale, bias):
         )
         / n
     )  # (K,K) fp32
-    mean = m_x @ w
-    e2 = jnp.sum((second @ w) * w, axis=0)
+    # small (K,)/(K,K)-by-(K,C) products at HIGHEST so fp32 mode stays
+    # exact (TPU default fp32 matmul is bf16-grade; negligible cost)
+    hi = jax.lax.Precision.HIGHEST
+    mean = jnp.matmul(m_x, w, precision=hi)
+    e2 = jnp.sum(jnp.matmul(second, w, precision=hi) * w, axis=0)
     var = e2 - jnp.square(mean)
     inv = jax.lax.rsqrt(var + eps)
     d = inv * scale
@@ -205,17 +208,23 @@ def _folded_train_bwd(eps, res, cts):
     dt = x4.dtype
     d = inv * scale  # (C,)
 
+    # HIGHEST precision on every small matmul feeding the differenced
+    # dW terms: the forward's second moment is HIGHEST, and mixing a
+    # bf16-grade t against it would amplify cancellation error in fp32
+    # mode (bf16 inputs are unaffected by the flag)
+    hi = jax.lax.Precision.HIGHEST
     t = jax.lax.dot_general(
         x4, gy,
         dimension_numbers=((_SPATIAL, _SPATIAL), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=hi,
     )  # (K,C)
     s1 = jnp.sum(gy, axis=_SPATIAL, dtype=jnp.float32)  # (C,)
     gh_sum = jnp.sum(w * t, axis=0)  # Σ g·h per channel
     s2 = (gh_sum - mean * s1) * inv  # Σ g·ĥ
     q = inv * d * s2 / n
-    a_small = (w * q[None, :]) @ w.T  # (K,K)
-    r = w @ (mean * q - d * s1 / n)  # (K,)
+    a_small = jnp.matmul(w * q[None, :], w.T, precision=hi)  # (K,K)
+    r = jnp.matmul(w, mean * q - d * s1 / n, precision=hi)  # (K,)
     w_folded = w * d[None, :]
 
     dx = (
@@ -223,7 +232,7 @@ def _folded_train_bwd(eps, res, cts):
         - _conv1x1(x4, a_small.astype(dt))
         + r.astype(dt)
     )
-    sw = second @ w
+    sw = jnp.matmul(second, w, precision=hi)
     dw = (
         t * d[None, :]
         - jnp.outer(m_x, d * s1)
@@ -406,6 +415,11 @@ class ModifiedResNet(nn.Module):
     # Per-bottleneck rematerialization (memory for recompute) — the
     # high-resolution RN50x16 (384²) OOMs at bs64 without it.
     remat: bool = False
+    # Profiling hook (scripts/profile_rn50.py): return the feature map
+    # after this stage instead of the pooled embedding.  0 = stem,
+    # 1..4 = through layer{n}; None (default) = the full tower.  Keeps
+    # the per-stage profiler on the real module instead of a copy.
+    stop_after: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -438,6 +452,8 @@ class ModifiedResNet(nn.Module):
         )(x)
         x = nn.relu(bn("stem_bn3")(x))
         x = nn.avg_pool(x, (2, 2), (2, 2))
+        if self.stop_after == 0:
+            return x
 
         block_cls = Bottleneck
         if self.remat:
@@ -454,6 +470,8 @@ class ModifiedResNet(nn.Module):
                     name=f"layer{stage + 1}_block{block}",
                 )(x, train)
             planes *= 2
+            if self.stop_after == stage + 1:
+                return x
 
         # final width = width * 32 (2048 for RN50)
         return AttentionPool2d(

@@ -121,6 +121,10 @@ def make_train_step(
     projection = make_projection(
         config.sparse_projection, config.sparse_topk, config.sparse_l1
     )
+    # data-mesh size for the shard-aligned grad-accum microbatch layout
+    accum_dp = (
+        batch_shards.mesh.shape[DATA_AXIS] if batch_shards is not None else 1
+    )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         # Reference counts batches 1-based for β/α (sparsify_clip.py:755).
@@ -143,47 +147,8 @@ def make_train_step(
             images = batch["images"]
             new_rng = state.rng
 
-        def loss_of(trainables):
-            variables = {"params": trainables["model"]}
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-                (img, txt), mutated = model.apply(
-                    variables, images, batch["tokens"],
-                    train=True, mutable=["batch_stats"],
-                )
-                new_bn = mutated["batch_stats"]
-            else:
-                img, txt = model.apply(
-                    variables, images, batch["tokens"], train=True
-                )
-                new_bn = state.batch_stats
-            img = l2_normalize(img)
-            txt = l2_normalize(txt)
-            if projection is not None:
-                # north-star sparsification stage: project embeddings
-                # once past sparse_after_epoch (lax.cond on traced epoch
-                # — no recompile at the boundary)
-                active = epoch >= config.sparse_after_epoch
-                img, txt = jax.lax.cond(
-                    active,
-                    lambda i, t: (projection(i), projection(t)),
-                    lambda i, t: (i, t),
-                    img, txt,
-                )
-            temp = (
-                trainables["temperature"] if learnable_temp
-                else jnp.float32(config.anchor_temperature)
-            )
-            ctx = LossContext(
-                temperature=temp, beta=beta, alpha=alpha, warm=warm,
-                # host-supplied (B, B) soft targets for "anchor-roberta"
-                soft_targets=batch.get("soft_targets"),
-            )
-            loss, aux = loss_core(img, txt, ctx)
-            return loss, (aux, new_bn)
-
         def encode_micro(params, bn, imgs, toks):
-            """One microbatch through both encoders → normalized embeddings."""
+            """One (micro)batch through both encoders → normalized embeddings."""
             variables = {"params": params}
             if has_bn:
                 variables["batch_stats"] = bn
@@ -196,6 +161,9 @@ def make_train_step(
 
         def loss_from_embeddings(img, txt, temp):
             if projection is not None:
+                # north-star sparsification stage: project embeddings
+                # once past sparse_after_epoch (lax.cond on traced epoch
+                # — no recompile at the boundary)
                 active = epoch >= config.sparse_after_epoch
                 img, txt = jax.lax.cond(
                     active,
@@ -205,9 +173,23 @@ def make_train_step(
                 )
             ctx = LossContext(
                 temperature=temp, beta=beta, alpha=alpha, warm=warm,
+                # host-supplied (B, B) soft targets for "anchor-roberta"
                 soft_targets=batch.get("soft_targets"),
             )
             return loss_core(img, txt, ctx)
+
+        def _temp_of(trainables):
+            return (
+                trainables["temperature"] if learnable_temp
+                else jnp.float32(config.anchor_temperature)
+            )
+
+        def loss_of(trainables):
+            img, txt, new_bn = encode_micro(
+                trainables["model"], state.batch_stats, images, batch["tokens"]
+            )
+            loss, aux = loss_from_embeddings(img, txt, _temp_of(trainables))
+            return loss, (aux, new_bn)
 
         def gradcache_value_and_grad(trainables):
             """GradCache two-pass accumulation (Gao et al. 2021 scheme,
@@ -222,40 +204,78 @@ def make_train_step(
             microbatch; compute cost is one extra encoder forward.  For
             BN towers, batch statistics are per-microbatch (the
             standard accumulation semantics — documented delta vs one
-            huge batch)."""
+            huge batch; train-mode BN only WRITES running stats, so
+            pass 2's replay may use any running-stats value).
+
+            Microbatches are **shard-aligned**: microbatch ``i`` takes
+            each device's i-th local sub-block (layout
+            ``(dp, A, mb/dp)`` on the data-sharded batch axis), so the
+            per-step slicing is collective-free — a contiguous slice of
+            the global batch would make XLA all-gather the full images
+            onto every device, defeating the memory savings.  The
+            small (B, D) embedding/cotangent transposes restore the
+            original batch order for the loss, so membership is
+            numerics-neutral."""
             A = config.grad_accum_steps
-            mb = images.shape[0] // A
+            B = images.shape[0]
+            if B % A:
+                raise ValueError(
+                    f"global batch {B} not divisible by grad_accum_steps {A}"
+                )
+            mb = B // A
+            # dp=1 layout (contiguous microbatches) is the fallback when
+            # the batch can't split A ways per device; it is correct but
+            # makes XLA all-gather the batch under dp>1.
+            dp = accum_dp if mb % accum_dp == 0 else 1
             params = trainables["model"]
 
-            def p1(bn, i):
-                im = jax.lax.dynamic_slice_in_dim(images, i * mb, mb)
-                tk = jax.lax.dynamic_slice_in_dim(batch["tokens"], i * mb, mb)
-                img, txt, bn_out = encode_micro(params, bn, im, tk)
-                return bn_out, (img, txt, bn)
+            def micro(x, i):
+                xs = x.reshape(dp, A, mb // dp, *x.shape[1:])
+                piece = jax.lax.dynamic_index_in_dim(
+                    xs, i, axis=1, keepdims=False
+                )
+                return piece.reshape(mb, *x.shape[1:])
 
-            final_bn, (img_mb, txt_mb, bns_in) = jax.lax.scan(
+            def reassemble(e):  # scan-stacked (A, mb, D) → (B, D)
+                d = e.shape[-1]
+                return (
+                    e.reshape(A, dp, mb // dp, d)
+                    .transpose(1, 0, 2, 3)
+                    .reshape(B, d)
+                )
+
+            def split_ct(g):  # (B, D) → (A, mb, D) matching micro()
+                d = g.shape[-1]
+                return (
+                    g.reshape(dp, A, mb // dp, d)
+                    .transpose(1, 0, 2, 3)
+                    .reshape(A, mb, d)
+                )
+
+            def p1(bn, i):
+                img, txt, bn_out = encode_micro(
+                    params, bn, micro(images, i), micro(batch["tokens"], i)
+                )
+                return bn_out, (img, txt)
+
+            final_bn, (img_mb, txt_mb) = jax.lax.scan(
                 p1, state.batch_stats, jnp.arange(A)
             )
-            img_all = img_mb.reshape(images.shape[0], -1)
-            txt_all = txt_mb.reshape(images.shape[0], -1)
+            img_all = reassemble(img_mb)
+            txt_all = reassemble(txt_mb)
 
-            temp = (
-                trainables["temperature"] if learnable_temp
-                else jnp.float32(config.anchor_temperature)
-            )
             (loss, aux), (d_img, d_txt, d_temp) = jax.value_and_grad(
                 loss_from_embeddings, argnums=(0, 1, 2), has_aux=True
-            )(img_all, txt_all, temp)
-            d_img = d_img.reshape(A, mb, -1)
-            d_txt = d_txt.reshape(A, mb, -1)
+            )(img_all, txt_all, _temp_of(trainables))
 
             def p2(acc, xs):
-                i, bn_i, di, dti = xs
-                im = jax.lax.dynamic_slice_in_dim(images, i * mb, mb)
-                tk = jax.lax.dynamic_slice_in_dim(batch["tokens"], i * mb, mb)
+                i, di, dti = xs
 
                 def f(p):
-                    img, txt, _ = encode_micro(p, bn_i, im, tk)
+                    img, txt, _ = encode_micro(
+                        p, state.batch_stats,
+                        micro(images, i), micro(batch["tokens"], i),
+                    )
                     return img, txt
 
                 _, vjp = jax.vjp(f, params)
@@ -267,7 +287,7 @@ def make_train_step(
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, params)
             grads_model, _ = jax.lax.scan(
-                p2, zero, (jnp.arange(A), bns_in, d_img, d_txt)
+                p2, zero, (jnp.arange(A), split_ct(d_img), split_ct(d_txt))
             )
             grads = {"model": grads_model}
             if learnable_temp:
@@ -323,6 +343,7 @@ def make_train_step(
                 return jitted(state, batch)
 
         train_step._cache_size = jitted._cache_size  # test/introspection hook
+        train_step._jitted = jitted  # AOT lower/compile access (tests)
         return train_step
     return jax.jit(step_fn, donate_argnums=(0,))
 

@@ -177,9 +177,9 @@ def test_rn_remat_numerics_neutral():
 
 
 class TestBatchNormHalf:
-    """BatchNormHalf (fp32 stats, custom closed-form training VJP) must
-    match flax ``nn.BatchNorm`` in fp32: forward, updated batch_stats,
-    and gradients w.r.t. x/scale/bias."""
+    """BatchNormHalf (fp32 stats, compute-dtype normalize, plain
+    autodiff backward) must match flax ``nn.BatchNorm`` in fp32:
+    forward, updated batch_stats, and gradients w.r.t. x/scale/bias."""
 
     def _setup(self):
         import flax.linen as nn
