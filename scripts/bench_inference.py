@@ -27,8 +27,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from sparsify_clip_tpu.inference import CLIPEncoder
     from sparsify_clip_tpu.models import create_model
-    from sparsify_clip_tpu.utils.numerics import l2_normalize
 
     rng = np.random.default_rng(0)
     out = {"batch": args.batch, "backend": jax.default_backend(), "models": {}}
@@ -45,24 +45,14 @@ def main():
         tokens[:, -1] = model.cfg.vocab_size - 1
         tokens = jnp.asarray(tokens)
 
-        @jax.jit
-        def enc_img(v, x, model=model):
-            return jnp.sum(
-                l2_normalize(
-                    model.apply(v, x, method=model.encode_image)
-                ).astype(jnp.float32)
-            )
-
-        @jax.jit
-        def enc_txt(v, t, model=model):
-            return jnp.sum(
-                l2_normalize(
-                    model.apply(v, t, method=model.encode_text)
-                ).astype(jnp.float32)
-            )
-
-        t_i = timed(enc_img, variables, images, steps=20, warmup=3)
-        t_t = timed(enc_txt, variables, tokens, steps=20, warmup=3)
+        # Drive the actual deployment path: CLIPEncoder's jitted
+        # normalized-embedding encoders (tokenizer bypassed — tokens are
+        # pre-built so only device work is timed).
+        encoder = CLIPEncoder(model, variables, tokenizer=None)
+        t_i = timed(
+            encoder._encode_images, variables, images, steps=20, warmup=3)
+        t_t = timed(
+            encoder._encode_tokens, variables, tokens, steps=20, warmup=3)
         out["models"][name] = {
             "encode_image_ms": round(t_i * 1e3, 2),
             "images_per_sec": round(args.batch / t_i, 1),

@@ -55,7 +55,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
 
     from sparsify_clip_tpu import checkpoints
     from sparsify_clip_tpu.data import dataset_loader
-    from sparsify_clip_tpu.eval import evaluate_model
+    from sparsify_clip_tpu.eval import evaluate_model, make_eval_model
     from sparsify_clip_tpu.logging import RunLogger
     from sparsify_clip_tpu.train import create_train_setup, run_training
     from sparsify_clip_tpu.viz import plot_all_methods
@@ -124,6 +124,10 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
     eval_batches = list(test_loader.epoch(0))
     last_eval: Dict[str, float] = {}
     eval_pass = 0
+    # fp32 eval towers over the shared fp32 params (reference runs eval
+    # with no autocast, sparsify_clip.py:563-593); built once so the
+    # jitted eval encoders compile once
+    eval_model = make_eval_model(model, config.eval_fp32)
 
     def eval_fn(state):
         nonlocal last_eval, eval_pass
@@ -141,10 +145,11 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
         if config.plot_embeddings:
             def plot_fn(txt, img):
                 plot_all_methods(
-                    txt, img, out_dir="plots", tag=f"{time.time():.0f}", logger=logger
+                    txt, img, out_dir=os.path.join(config.log_dir, "plots"),
+                    tag=f"{time.time():.0f}", logger=logger,
                 )
         metrics = evaluate_model(
-            model, variables, batches,
+            eval_model, variables, batches,
             plot_embeddings=config.plot_embeddings, plot_fn=plot_fn,
             mesh=setup.mesh,
         )

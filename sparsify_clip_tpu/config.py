@@ -87,6 +87,18 @@ class ExperimentConfig:
     # required for per-chip batches >= 512 on 16G HBM.  The reference
     # batch (256/chip) fits without it.
     remat: bool = False
+    # Selective remat policy (when remat is on): "nothing" recomputes
+    # whole blocks (max memory savings); "dots" saves matmul results;
+    # "dots_no_batch" saves only unbatched dots (dense projections);
+    # "attn_out" saves attention outputs, recomputes the MLP half.
+    # Policies trade memory back for less recompute — pick per model
+    # (models/layers.py::resolve_remat_policy; measured in BASELINE.md).
+    remat_policy: str = "nothing"
+    # Space-to-depth stem for ResNet towers: run stem_conv1 as a 2×2
+    # conv over the s2d(2)-repacked input — mathematically identical
+    # (the 3×3 kernel is repacked in-graph; same parameter tree), a
+    # pure MXU/HBM data-layout experiment.  Measured in BASELINE.md.
+    stem_s2d: bool = False
     # fp32 LayerNorm statistics in the towers (quality default; bf16
     # measured no faster on v5e — knob retained for experimentation).
     ln_fp32: bool = True
@@ -106,6 +118,11 @@ class ExperimentConfig:
     # (reference semantics; accumulation is an extension — the
     # reference has no equivalent).
     grad_accum_steps: int = 1
+    # Under dp>1, microbatches must split per-device (microbatch %
+    # mesh_data == 0) or XLA all-gathers the full image batch onto every
+    # device — defeating the memory savings accumulation exists for.
+    # That degraded layout is an error unless explicitly allowed here.
+    allow_accum_gather: bool = False
     # Optional path to the real CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz).
     bpe_vocab_path: Optional[str] = None
     # Tokenizer backend: "python" (golden; full Unicode), "native" (C++
@@ -137,17 +154,25 @@ class ExperimentConfig:
     # NaN debugging: jax_debug_nans inside jit (the reference has no
     # sanitizers; SURVEY.md §5).
     debug_nans: bool = False
-    # Skip t-SNE/UMAP/PCA embedding plots (reference always plots,
-    # sparsify_clip.py:599-620; host-side only).
-    plot_embeddings: bool = False
+    # t-SNE/UMAP/PCA embedding plots per eval pass — ON by default like
+    # the reference (always-on 3× visualize, sparsify_clip.py:599-620;
+    # host-side only; reducers gated on installed libs).  False skips
+    # the host plotting work.
+    plot_embeddings: bool = True
     # Steps per eval; -1 reproduces reference per-epoch cadence.
     eval_every_n_steps: int = -1
+    # Evaluate with fp32-compute towers (sharing the fp32 params), as
+    # the reference does — its evaluate_model runs under no_grad with
+    # no autocast (sparsify_clip.py:563-593) — even when training runs
+    # bf16 ("fp16: True").  False reuses the training-dtype model for
+    # eval (faster; bf16-grade embeddings feeding the fp32 metrics).
+    eval_fp32: bool = True
     # Re-draw the 1-of-5 eval caption on every eval pass, as the
     # reference's fresh loader sweep does (collate random.choice,
-    # sparsify_clip.py:1050-1057 via :564).  False (default) freezes
-    # the eval batches once so per-epoch metric curves are comparable
-    # across epochs (documented delta, PARITY.md).
-    eval_redraw_captions: bool = False
+    # sparsify_clip.py:1050-1057 via :564) — ON by default for parity.
+    # False freezes the eval batches once so per-epoch metric curves
+    # are comparable across epochs (documented option, PARITY.md).
+    eval_redraw_captions: bool = True
 
     # Unrecognized YAML keys, preserved verbatim.
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)

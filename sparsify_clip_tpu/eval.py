@@ -131,6 +131,22 @@ def compute_all_metrics(
     return out
 
 
+def make_eval_model(model, eval_fp32: bool = True):
+    """The model instance evaluation should run: an fp32-compute twin
+    of a bf16 training model (sharing the same fp32 params) when
+    ``eval_fp32``, else the training model itself.
+
+    The reference evaluates in full fp32 — its ``evaluate_model`` runs
+    under ``no_grad`` with **no autocast** (sparsify_clip.py:563-593) —
+    while training forwards run under autocast.  Mirroring that here
+    means eval embeddings come from fp32 towers even when training
+    computes in bfloat16 (``fp16: True``).
+    """
+    if not eval_fp32 or model.dtype == jnp.float32:
+        return model
+    return model.clone(dtype=jnp.float32)
+
+
 def evaluate_model(
     model,
     variables,

@@ -82,6 +82,15 @@ MODEL_REGISTRY: Dict[str, CLIPConfig] = {
         vision_width=1024, vision_layers=(24,), vision_heads=16, patch_size=14,
         text_width=768, text_heads=12, text_layers=12,
     ),
+    # Minutes-scale smoke model for CLI verification runs (full 49408
+    # vocab / 77 context so the real tokenizer path is exercised, tiny
+    # towers so init+compile are seconds even through the axon tunnel).
+    "tiny-test": CLIPConfig(
+        name="tiny-test", embed_dim=16, vision_kind="vit", image_size=32,
+        vision_width=32, vision_layers=(2,), vision_heads=2, patch_size=16,
+        vocab_size=49408, context_length=77, text_width=16, text_heads=2,
+        text_layers=2,
+    ),
 }
 # OpenAI-parameterized (QuickGELU) variants, mirroring open_clip's
 # "<name>-quickgelu" registry convention.
@@ -103,6 +112,14 @@ class CLIP(nn.Module):
     # needed for ViT-B per-chip batches >= 512 and for RN50x16's 384²
     # activations on 16G HBM).
     remat: bool = False
+    # Selective remat policy (models.layers.resolve_remat_policy):
+    # None/"nothing" recomputes whole blocks; "dots", "dots_no_batch",
+    # "attn_out" keep chosen intermediates to trade memory for less
+    # recompute.  Read only when remat is on.
+    remat_policy: Any = None
+    # Space-to-depth stem for ResNet towers (models/resnet.py): same
+    # math/params, different MXU data layout.  Measured in BASELINE.md.
+    stem_s2d: bool = False
     # fp32 LayerNorm statistics (quality default; bf16 measured no
     # faster on v5e — knob retained for experimentation).
     ln_fp32: bool = True
@@ -118,6 +135,8 @@ class CLIP(nn.Module):
                 heads=self.cfg.vision_heads,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_policy=self.remat_policy,
+                stem_s2d=self.stem_s2d,
             )
         elif self.cfg.vision_kind == "vit":
             self.visual = VisionTransformer(
@@ -130,6 +149,7 @@ class CLIP(nn.Module):
                 dtype=self.dtype,
                 act=act,
                 remat=self.remat,
+                remat_policy=self.remat_policy,
                 ln_fp32=self.ln_fp32,
             )
         else:
@@ -144,6 +164,7 @@ class CLIP(nn.Module):
             dtype=self.dtype,
             act=act,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             ln_fp32=self.ln_fp32,
         )
 
@@ -167,6 +188,8 @@ def create_model(
     rng: Optional[jax.Array] = None,
     image_size: Optional[int] = None,
     remat: bool = False,
+    remat_policy: Any = None,
+    stem_s2d: bool = False,
     ln_fp32: bool = True,
 ):
     """Build a CLIP model + freshly-initialized variables.
@@ -180,7 +203,8 @@ def create_model(
     cfg = MODEL_REGISTRY[name]
     if image_size is not None:
         cfg = dataclasses.replace(cfg, image_size=image_size)
-    model = CLIP(cfg=cfg, dtype=dtype, remat=remat, ln_fp32=ln_fp32)
+    model = CLIP(cfg=cfg, dtype=dtype, remat=remat, remat_policy=remat_policy,
+                 stem_s2d=stem_s2d, ln_fp32=ln_fp32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     dummy_images = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)

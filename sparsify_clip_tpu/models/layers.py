@@ -21,12 +21,45 @@ Functional equivalent of the reference's external open_clip towers
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
+
+
+def resolve_remat_policy(name: Optional[str]):
+    """Map a config string to a ``jax.checkpoint`` rematerialization
+    policy (None = recompute everything, the jax default).
+
+    * ``"nothing"``/``"full"``/None — save nothing, recompute the whole
+      block (the round-2 behavior; max memory savings, max recompute);
+    * ``"dots"`` — save every dot_general result (matmuls + attention
+      einsums), recompute only elementwise ops;
+    * ``"dots_no_batch"`` — save dot_generals with no batch dims (the
+      dense projections), recompute batched attention einsums;
+    * ``"attn_out"`` — save each block's attention output (tagged via
+      ``checkpoint_name`` below), recompute everything else — the
+      "save attention, recompute MLP" middle ground.
+
+    Policies change what the backward pass recomputes, never the math.
+    """
+    if name in (None, "nothing", "full"):
+        return None
+    table = {
+        "dots": jax.checkpoint_policies.checkpoint_dots,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "attn_out": jax.checkpoint_policies.save_only_these_names("attn_out"),
+    }
+    if name not in table:
+        raise ValueError(
+            f"Unknown remat_policy {name!r}; choose from "
+            f"{['nothing', *table]}"
+        )
+    return table[name]
 
 
 class LayerNorm(nn.Module):
@@ -129,10 +162,13 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x + MultiHeadAttention(
+        attn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, causal=self.causal,
             name="attn",
         )(LayerNorm(fp32=self.ln_fp32, name="ln_1")(x))
+        # identity tag for the "attn_out" selective-remat policy
+        # (resolve_remat_policy); free outside remat
+        x = x + checkpoint_name(attn, "attn_out")
         x = x + MLP(self.width, dtype=self.dtype, act=self.act, name="mlp")(
             LayerNorm(fp32=self.ln_fp32, name="ln_2")(x)
         )
@@ -152,12 +188,19 @@ class Transformer(nn.Module):
     # recompute).  With the fused attention kernel, ViT-B/32 trains at
     # 1024/chip on 16G HBM without this; enable for larger batches.
     remat: bool = False
+    # Selective remat policy name (resolve_remat_policy): what the
+    # backward pass may keep instead of recomputing.  Only read when
+    # remat is on.
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock)
+            block_cls = nn.remat(
+                ResidualAttentionBlock,
+                policy=resolve_remat_policy(self.remat_policy),
+            )
         # Unrolled python loop: 12 blocks trace fast and XLA pipelines
         # them; lax.scan-over-layers only pays off at far greater depth.
         for i in range(self.layers):

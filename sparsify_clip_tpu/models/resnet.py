@@ -51,7 +51,11 @@ class BatchNormHalf(nn.Module):
     Same param/batch_stats tree names as ``nn.BatchNorm``
     (scale/bias, mean/var), same momentum convention
     (``ra = m*ra + (1-m)*batch``) and the same E[x²]−E[x]² "fast
-    variance" flax defaults to, so this is a drop-in swap.
+    variance" flax defaults to.  One deliberate divergence from flax:
+    the running **variance** update uses the unbiased n/(n−1) estimate,
+    matching ``torch.nn.BatchNorm2d`` (the reference's BN) — torch
+    normalizes with the biased batch variance but tracks the unbiased
+    one, and train-curve parity is against torch, not flax.
     """
 
     use_running_average: bool
@@ -78,11 +82,13 @@ class BatchNormHalf(nn.Module):
             mean = jnp.mean(xf, axes)
             var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
             if not self.is_initializing():
+                n = x.size // c
+                unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 )
                 ra_var.value = (
-                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                    self.momentum * ra_var.value + (1 - self.momentum) * unbiased
                 )
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
         shift = bias - mean * inv
@@ -176,7 +182,10 @@ def _folded_train(eps, x4, w, scale, bias):
 
 
 def _folded_train_fwd(eps, x4, w, scale, bias):
-    y, mean, var, res = _folded_train_impl(eps, x4, w, scale, bias)
+    # symbolic_zeros=True wraps primals in CustomVJPPrimal
+    y, mean, var, res = _folded_train_impl(
+        eps, x4.value, w.value, scale.value, bias.value
+    )
     return (y, mean, var), res
 
 
@@ -197,13 +206,33 @@ def _folded_train_bwd(eps, res, cts):
     never needed — autodiff of the moment form instead materializes an
     fp32 cotangent of x (measured +6 ms on RN50 layer1).
 
-    Cotangents for the returned (mean, var) are structurally zero —
+    Cotangents for the returned (mean, var) must be structurally zero —
     they only feed the running-statistics update, which the caller
     wraps in stop_gradient (matching flax BatchNorm, whose running
-    stats are non-differentiable state).
+    stats are non-differentiable state).  ``symbolic_zeros=True`` makes
+    the invariant self-enforcing: a caller that differentiates through
+    mean/var delivers a non-SymbolicZero cotangent and gets a loud
+    trace-time error instead of silently dropped gradient.
     """
-    gy, _gmean, _gvar = cts
+    from jax.custom_derivatives import SymbolicZero
+
+    gy, gmean, gvar = cts
     x4, w, scale, m_x, second, mean, inv = res
+    if not (isinstance(gmean, SymbolicZero) and isinstance(gvar, SymbolicZero)):
+        raise ValueError(
+            "_folded_train's (mean, var) outputs are running-statistics "
+            "values whose cotangents this custom VJP structurally "
+            "discards; differentiating through them would silently lose "
+            "gradient. Wrap the stats update in stop_gradient (as "
+            "_conv1x1_bn_folded does)."
+        )
+    if isinstance(gy, SymbolicZero):
+        return (
+            jnp.zeros_like(x4),
+            jnp.zeros_like(w),
+            jnp.zeros_like(scale),
+            jnp.zeros_like(scale),
+        )
     n = x4.shape[0] * x4.shape[1] * x4.shape[2]
     dt = x4.dtype
     d = inv * scale  # (C,)
@@ -241,7 +270,7 @@ def _folded_train_bwd(eps, res, cts):
     return dx, dw, s2, s1
 
 
-_folded_train.defvjp(_folded_train_fwd, _folded_train_bwd)
+_folded_train.defvjp(_folded_train_fwd, _folded_train_bwd, symbolic_zeros=True)
 
 
 def _conv1x1_bn_folded(
@@ -291,8 +320,11 @@ def _conv1x1_bn_folded(
     if train:
         y, mean, var = _folded_train(epsilon, x4, w, scale, bias)
         if not parent.is_initializing():
+            n = x4.shape[0] * x4.shape[1] * x4.shape[2]
             mean_s = jax.lax.stop_gradient(mean)
-            var_s = jax.lax.stop_gradient(var)
+            # torch BatchNorm2d tracks the UNBIASED variance (n/(n-1))
+            # even though it normalizes with the biased one
+            var_s = jax.lax.stop_gradient(var) * (n / max(n - 1, 1))
             ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean_s
             ra_var.value = momentum * ra_var.value + (1 - momentum) * var_s
         return y
@@ -362,6 +394,58 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _StemConvKernel(nn.Module):
+    """Param holder: the stem's 3×3 conv kernel under ``kernel``."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+            jnp.float32,
+        )
+
+
+def s2d_pack_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Repack a 3×3 stride-2 conv kernel for a space-to-depth(2) input.
+
+    With ``y[p, q, (pi, pj, c)] = x[2p+pi, 2q+pj, c]`` the original
+    stride-2 conv (padding 1) is exactly a 2×2 stride-1 conv over y
+    with top/left padding 1: output row i reads y rows i-1 (pi=1 →
+    x[2i-1]) and i (pi=0/1 → x[2i]/x[2i+1]); the (a=0, pi=0) tap would
+    be x[2i-2], outside the 3×3 support, so its weights are zero.
+    Mapping: K2[a, b, (pi, pj, c), o] = w[2a+pi-1, 2b+pj-1, c, o]
+    (zero where the index is -1).  Pure weight reshuffle — the conv's
+    math, and therefore the model, is unchanged.
+    """
+    cin, co = w.shape[2], w.shape[3]
+    zeros_row = jnp.zeros_like(w[:1])
+    rows = jnp.concatenate([zeros_row, w], axis=0)  # (4,3,cin,co): (a,pi)→di
+    zeros_col = jnp.zeros_like(rows[:, :1])
+    full = jnp.concatenate([zeros_col, rows], axis=1)  # (4,4,cin,co)
+    # (a*2+pi, b*2+pj, cin, co) → (a, b, pi*2cin + pj*cin + cin)
+    k2 = (
+        full.reshape(2, 2, 2, 2, cin, co)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(2, 2, 4 * cin, co)
+    )
+    return k2
+
+
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/b, W/b, b²·C), channel-minor (pi, pj, c)."""
+    b, h, w, c = x.shape
+    return (
+        x.reshape(b, h // block, block, w // block, block, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // block, w // block, block * block * c)
+    )
+
+
 class AttentionPool2d(nn.Module):
     """Spatial attention pooling: query = mean over positions."""
 
@@ -415,6 +499,13 @@ class ModifiedResNet(nn.Module):
     # Per-bottleneck rematerialization (memory for recompute) — the
     # high-resolution RN50x16 (384²) OOMs at bs64 without it.
     remat: bool = False
+    # Selective remat policy name (models.layers.resolve_remat_policy).
+    remat_policy: Any = None
+    # Space-to-depth stem: run stem_conv1 as a 2×2 conv over the
+    # s2d(2)-repacked input — identical math and parameter tree (the
+    # 3×3 kernel is repacked in-graph, s2d_pack_kernel), different
+    # data layout for the MXU.  Measured A/B in scripts/bench_stem.py.
+    stem_s2d: bool = False
     # Profiling hook (scripts/profile_rn50.py): return the feature map
     # after this stage instead of the pooled embedding.  0 = stem,
     # 1..4 = through layer{n}; None (default) = the full tower.  Keeps
@@ -436,10 +527,21 @@ class ModifiedResNet(nn.Module):
 
         x = images.astype(self.dtype)
         # 3-conv stem
-        x = nn.Conv(
-            self.width // 2, (3, 3), strides=2, padding=1, use_bias=False,
-            dtype=self.dtype, name="stem_conv1",
-        )(x)
+        if self.stem_s2d:
+            # same parameter path (stem_conv1/kernel) as the nn.Conv
+            # branch, so checkpoints/interop are layout-independent
+            kernel = _StemConvKernel(3, self.width // 2, name="stem_conv1")()
+            packed = s2d_pack_kernel(kernel).astype(self.dtype)
+            x = jax.lax.conv_general_dilated(
+                space_to_depth(x, 2), packed, (1, 1),
+                padding=((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = nn.Conv(
+                self.width // 2, (3, 3), strides=2, padding=1, use_bias=False,
+                dtype=self.dtype, name="stem_conv1",
+            )(x)
         x = nn.relu(bn("stem_bn1")(x))
         x = nn.Conv(
             self.width // 2, (3, 3), padding=1, use_bias=False,
@@ -457,8 +559,13 @@ class ModifiedResNet(nn.Module):
 
         block_cls = Bottleneck
         if self.remat:
+            from sparsify_clip_tpu.models.layers import resolve_remat_policy
+
             # (self, x, train): train is a static python bool
-            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+            block_cls = nn.remat(
+                Bottleneck, static_argnums=(2,),
+                policy=resolve_remat_policy(self.remat_policy),
+            )
         planes = self.width
         for stage, blocks in enumerate(self.layers):
             stride = 1 if stage == 0 else 2

@@ -28,6 +28,7 @@ class TextTransformer(nn.Module):
     dtype: Any = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
     remat: bool = False
+    remat_policy: Any = None
     ln_fp32: bool = True
 
     @nn.compact
@@ -50,7 +51,8 @@ class TextTransformer(nn.Module):
         x = x + positional_embedding[:l].astype(self.dtype)
         x = Transformer(
             self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
-            causal=True, remat=self.remat, ln_fp32=self.ln_fp32, name="transformer",
+            causal=True, remat=self.remat, remat_policy=self.remat_policy,
+            ln_fp32=self.ln_fp32, name="transformer",
         )(x)
         x = LayerNorm(name="ln_final")(x)
 

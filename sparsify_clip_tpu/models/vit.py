@@ -28,6 +28,7 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
     remat: bool = False
+    remat_policy: Any = None
     ln_fp32: bool = True
 
     @nn.compact
@@ -66,7 +67,8 @@ class VisionTransformer(nn.Module):
         x = LayerNorm(name="ln_pre")(x)
         x = Transformer(
             self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
-            remat=self.remat, ln_fp32=self.ln_fp32, name="transformer",
+            remat=self.remat, remat_policy=self.remat_policy,
+            ln_fp32=self.ln_fp32, name="transformer",
         )(x)
         x = LayerNorm(name="ln_post")(x[:, 0, :])
 

@@ -125,6 +125,25 @@ def make_train_step(
     accum_dp = (
         batch_shards.mesh.shape[DATA_AXIS] if batch_shards is not None else 1
     )
+    if config.grad_accum_steps > 1 and accum_dp > 1:
+        mb_cfg = config.batch_size // config.grad_accum_steps
+        if mb_cfg % accum_dp:
+            # the dp=1 contiguous layout all-gathers the full image batch
+            # onto every device — never pick it silently
+            msg = (
+                f"grad_accum_steps={config.grad_accum_steps} gives "
+                f"microbatch {mb_cfg}, not divisible by the data-mesh "
+                f"size {accum_dp}: the fallback layout all-gathers the "
+                f"FULL image batch onto every device, defeating the "
+                f"memory savings. Pick grad_accum_steps so that "
+                f"(batch_size // grad_accum_steps) % mesh_data == 0, or "
+                f"set allow_accum_gather: true to accept the gather."
+            )
+            if not config.allow_accum_gather:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray]):
         # Reference counts batches 1-based for β/α (sparsify_clip.py:755).
@@ -370,7 +389,8 @@ def create_train_setup(
     init_rng, state_rng = jax.random.split(rng)
     model, variables = create_model(
         config.model, dtype=dtype, rng=init_rng, image_size=image_size,
-        remat=config.remat, ln_fp32=config.ln_fp32,
+        remat=config.remat, remat_policy=config.remat_policy,
+        stem_s2d=config.stem_s2d, ln_fp32=config.ln_fp32,
     )
 
     optimizer, schedule = build_optimizer(config, total_steps)

@@ -154,3 +154,67 @@ def test_uniformity_increases_toward_uniform():
     u_tight = float(eval_uniformity(jnp.asarray(tight), jnp.asarray(tight)))
     u_spread = float(eval_uniformity(jnp.asarray(spread), jnp.asarray(spread)))
     assert u_spread > u_tight  # −W₂: larger (less negative) = more uniform
+
+
+def test_eval_fp32_twin_and_metric_drift_bound():
+    """``make_eval_model`` gives an fp32-compute twin sharing the bf16
+    model's fp32 params (reference eval runs with no autocast,
+    sparsify_clip.py:563-593); on a briefly-trained tiny model the
+    bf16-vs-fp32 eval metric drift must be small and bounded."""
+    import jax
+
+    from sparsify_clip_tpu.config import ExperimentConfig
+    from sparsify_clip_tpu.eval import evaluate_model, make_eval_model
+    from sparsify_clip_tpu.models.clip import CLIPConfig, MODEL_REGISTRY
+    from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
+    from sparsify_clip_tpu.train import create_train_setup
+
+    MODEL_REGISTRY.setdefault(
+        "evalfp32-tiny",
+        CLIPConfig(
+            name="evalfp32-tiny", embed_dim=16, vision_kind="vit",
+            image_size=32, vision_width=32, vision_layers=(2,),
+            vision_heads=2, patch_size=16, vocab_size=256,
+            context_length=12, text_width=16, text_heads=2, text_layers=2,
+        ),
+    )
+    cfg = ExperimentConfig.from_dict({
+        "model": "evalfp32-tiny", "batch_size": 16, "epochs": 1,
+        "learning_rate": 1e-3, "loss_type": "anchor", "fp16": True,
+        "seed": 0,
+    })
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(1, 250, size=(16, 12)).astype(np.int32)
+    tokens[:, 0], tokens[:, -1] = 254, 255
+    host = {
+        "images": rng.standard_normal((16, 32, 32, 3)).astype(np.float32),
+        "tokens": tokens,
+    }
+    state = setup.state
+    for _ in range(3):
+        state, _m = setup.train_step(state, shard_batch(host, mesh))
+
+    model = setup.model
+    assert model.dtype == jnp.bfloat16
+    twin = make_eval_model(model, eval_fp32=True)
+    assert twin.dtype == jnp.float32
+    assert twin.cfg == model.cfg
+    # eval_fp32 off (or an already-fp32 model) returns the model itself
+    assert make_eval_model(model, eval_fp32=False) is model
+    assert make_eval_model(twin, eval_fp32=True) is twin
+
+    variables = {"params": state.params}
+    m_bf16 = evaluate_model(model, variables, [host])
+    m_fp32 = evaluate_model(twin, variables, [host])
+    assert set(m_bf16) == set(m_fp32)
+    # embeddings differ (bf16 vs fp32 towers) but every metric stays
+    # within a small band on this trained tiny model
+    for key in ("gap", "mean_angular_value_image", "mean_angular_value_text",
+                "uniformity", "mean_cosine_similarity_true_pairs"):
+        assert abs(m_bf16[key] - m_fp32[key]) < 0.05, (key, m_bf16[key], m_fp32[key])
+    for key in ("forward_r1", "backward_r1", "forward_ravg", "backward_ravg"):
+        # 16 samples -> one rank flip = 6.25 points; allow two
+        assert abs(m_bf16[key] - m_fp32[key]) <= 12.5 + 1e-6, key

@@ -183,6 +183,26 @@ def test_rn_dp_vs_tp_train_step_equality():
             float(m_tp["train_loss"]), rel=1e-4
         )
 
+    # Functional equality of the trained models on a held-out batch —
+    # the scalar loss alone could mask a TP mis-sharding that perturbs
+    # gradients within tolerance (same check as the ViT test above).
+    model = setup_dp.model
+    held_out = _batch()
+
+    def embed(state):
+        img, txt = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(held_out["images"]),
+            jnp.asarray(held_out["tokens"]),
+            train=False,
+        )
+        return np.asarray(img), np.asarray(txt)
+
+    img_dp, txt_dp = embed(state_dp)
+    img_tp, txt_tp = embed(state_tp)
+    np.testing.assert_allclose(img_dp, img_tp, rtol=2e-3, atol=5e-5)
+    np.testing.assert_allclose(txt_dp, txt_tp, rtol=2e-3, atol=5e-5)
+
 
 def _einsum_ref(qkv, heads, causal):
     from sparsify_clip_tpu.ops.pallas_attention import attention_core

@@ -236,9 +236,12 @@ def test_grad_accum_matches_full_batch():
 def test_grad_accum_learnable_temperature_and_rn():
     """Accumulation also covers the learnable raw temperature (grad via
     the loss block) and runs on a BN tower (per-microbatch statistics)."""
-    cfg = _config(anchor_temperature_learnable=True, grad_accum_steps=4)
+    # microbatch 4 < dp 8: the gather layout must be explicitly allowed
+    cfg = _config(anchor_temperature_learnable=True, grad_accum_steps=4,
+                  allow_accum_gather=True)
     mesh = create_mesh(data=8, model=1)
-    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    with pytest.warns(UserWarning, match="all-gathers"):
+        setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
     state, metrics = setup.train_step(setup.state, shard_batch(_batch(), mesh))
     assert np.isfinite(float(metrics["train_loss"]))
     assert float(state.temperature) != 0.1  # temperature got a gradient
@@ -262,3 +265,57 @@ def test_grad_accum_learnable_temperature_and_rn():
     # running stats advanced (per-microbatch semantics)
     var1 = np.asarray(jax.tree_util.tree_leaves(state_rn.batch_stats)[0])
     assert not np.allclose(var0, var1)
+
+
+def test_grad_accum_gather_layout_is_loud():
+    """Microbatch not divisible by the data-mesh size forces the dp=1
+    contiguous layout (XLA all-gathers the full image batch onto every
+    device).  That must never happen silently: error by default,
+    explicit warning under allow_accum_gather (train.py build check)."""
+    mesh = create_mesh(data=8, model=1)
+    # batch 16 / accum 4 -> microbatch 4, not divisible by dp=8
+    cfg_bad = _config(grad_accum_steps=4)
+    with pytest.raises(ValueError, match="all-gathers the FULL"):
+        create_train_setup(cfg_bad, steps_per_epoch=4, mesh=mesh)
+
+    cfg_allowed = _config(grad_accum_steps=4, allow_accum_gather=True)
+    with pytest.warns(UserWarning, match="all-gathers"):
+        create_train_setup(cfg_allowed, steps_per_epoch=4, mesh=mesh)
+
+    # the divisible case builds silently and takes the shard-aligned path
+    import warnings as _warnings
+
+    cfg_ok = _config(grad_accum_steps=2)  # microbatch 8 == dp 8
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        setup = create_train_setup(cfg_ok, steps_per_epoch=4, mesh=mesh)
+    state, metrics = setup.train_step(setup.state, shard_batch(_batch(), mesh))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_folded_bn_mean_var_cotangents_rejected():
+    """The BN-fold custom VJP structurally discards the (mean, var)
+    cotangents; differentiating through them must be a loud trace-time
+    error, not silently wrong gradients (models/resnet.py)."""
+    from sparsify_clip_tpu.models.resnet import _folded_train
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((4, 3, 3, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((8, 16)) * 0.1, jnp.float32)
+    scale, bias = jnp.ones((16,)), jnp.zeros((16,))
+
+    def through_mean(x):
+        _y, mean, _var = _folded_train(1e-5, x, w, scale, bias)
+        return jnp.sum(mean)
+
+    with pytest.raises(ValueError, match="running-statistics"):
+        jax.grad(through_mean)(x)
+
+    # the sanctioned pattern (stats stopped, grads through y) still works
+    def through_y(x):
+        y, mean, var = _folded_train(1e-5, x, w, scale, bias)
+        del mean, var
+        return jnp.sum(jnp.tanh(y))
+
+    g = jax.grad(through_y)(x)
+    assert np.isfinite(np.asarray(g)).all()
