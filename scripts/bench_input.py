@@ -33,7 +33,7 @@ import time
 
 import numpy as np
 
-from _bench import timed  # noqa: E402  (repo root on sys.path)
+import _bench  # noqa: F401  (side effect: repo root on sys.path)
 
 
 def bench_imaging(n_images: int):

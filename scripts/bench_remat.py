@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Remat-policy sweep for one model: full train step A/B on the chip.
+
+For each requested policy (plus an optional no-remat control) the
+script builds the full experiment-6 train step via
+``create_train_setup`` — exactly the step the CLI runs — and times it
+steady-state on a device-resident batch with the device→host scalar
+fence.  OOM variants are recorded, not fatal, so one process sweeps
+the whole policy space (chip init ~100 s amortizes across variants).
+
+The policies trade recompute for memory (config.remat_policy,
+models/layers.py::resolve_remat_policy); which one wins is a per-model
+empirical question this script answers for BASELINE.md.
+
+Usage:
+  python scripts/bench_remat.py --model ViT-L-14 --batch 128
+  python scripts/bench_remat.py --model RN50x16 --batch 64 \
+      --policies nothing,dots,dots_no_batch
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import _bench  # noqa: F401  (side effect: repo root on sys.path)
+
+
+def bench_variant(model, batch, remat, policy, steps):
+    import jax
+
+    from sparsify_clip_tpu.config import ExperimentConfig
+    from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
+    from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
+    from sparsify_clip_tpu.train import create_train_setup
+
+    config = ExperimentConfig.from_dict({
+        "model": model, "batch_size": batch, "epochs": 100,
+        "learning_rate": 1e-4,
+        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
+        "only_lunif_epochs": 1, "anchor_temperature": 0.1,
+        "fp16": True, "seed": 42,
+        "remat": remat, "remat_policy": policy,
+    })
+    mesh = create_mesh(data=1, model=1)
+    setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    size = MODEL_REGISTRY[model].image_size
+    tokens = rng.integers(1, 49000, size=(batch, 77)).astype(np.int32)
+    tokens[:, 0], tokens[:, -1] = 49406, 49407
+    batch_d = shard_batch({
+        "images": rng.standard_normal((batch, size, size, 3)).astype(np.float32),
+        "tokens": tokens,
+    }, mesh)
+
+    state = setup.state
+    for _ in range(3):
+        state, metrics = setup.train_step(state, batch_d)
+    float(metrics["train_loss"])  # fence (donated buffers: CLAUDE.md)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = setup.train_step(state, batch_d)
+    float(metrics["train_loss"])
+    dt = (time.perf_counter() - t0) / steps
+    del state, setup, batch_d
+    return {"step_ms": round(dt * 1e3, 2), "pairs_per_sec": round(batch / dt, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="ViT-L-14")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument(
+        "--policies", default="nothing,dots,dots_no_batch,attn_out",
+        help="comma list of remat policies to sweep (with remat on)")
+    ap.add_argument("--no-remat-control", action="store_true",
+                    help="also try remat off (may OOM; recorded, not fatal)")
+    args = ap.parse_args()
+
+    import jax
+
+    out = {"model": args.model, "batch": args.batch,
+           "backend": jax.default_backend(), "variants": {}}
+    variants = [(True, p) for p in args.policies.split(",") if p]
+    if args.no_remat_control:
+        variants.insert(0, (False, "nothing"))
+    for remat, policy in variants:
+        key = f"remat={remat}:{policy}" if remat else "no_remat"
+        try:
+            out["variants"][key] = bench_variant(
+                args.model, args.batch, remat, policy, args.steps)
+        except Exception as exc:  # XlaRuntimeError OOM etc. — record & go on
+            out["variants"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        print(json.dumps({key: out["variants"][key]}), flush=True)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--remat", action="store_true",
                     help="per-block rematerialization (ViT-L-class memory)")
+    ap.add_argument("--remat-policy", default="nothing",
+                    help="selective remat policy when --remat is on "
+                         "(nothing|dots|dots_no_batch|attn_out)")
     args = ap.parse_args()
 
     import jax
@@ -68,7 +71,8 @@ def main():
     from sparsify_clip_tpu.utils.numerics import l2_normalize
 
     out = {"model": args.model, "batch": args.batch,
-           "backend": jax.default_backend()}
+           "backend": jax.default_backend(),
+           "remat": args.remat, "remat_policy": args.remat_policy}
 
     # --- 1. sustained matmul rates at step-relevant shapes
     B, LV, LT = args.batch, 50, 77
@@ -86,6 +90,7 @@ def main():
         "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
         "only_lunif_epochs": 1, "anchor_temperature": 0.1,
         "fp16": True, "seed": 42, "remat": args.remat,
+        "remat_policy": args.remat_policy,
     })
     mesh = create_mesh(data=1, model=1)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)

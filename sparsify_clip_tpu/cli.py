@@ -137,6 +137,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             batches = list(test_loader.epoch(eval_pass))
         else:
             batches = eval_batches
+        this_pass = eval_pass
         eval_pass += 1
         variables = {"params": state.params}
         if state.batch_stats:
@@ -144,9 +145,11 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
         plot_fn = None
         if config.plot_embeddings:
             def plot_fn(txt, img):
+                # pass counter in the tag: two eval passes inside the
+                # same wall-clock second must not overwrite each other
                 plot_all_methods(
                     txt, img, out_dir=os.path.join(config.log_dir, "plots"),
-                    tag=f"{time.time():.0f}", logger=logger,
+                    tag=f"{this_pass:04d}_{time.time():.0f}", logger=logger,
                 )
         metrics = evaluate_model(
             eval_model, variables, batches,

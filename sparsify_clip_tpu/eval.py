@@ -147,6 +147,40 @@ def make_eval_model(model, eval_fp32: bool = True):
     return model.clone(dtype=jnp.float32)
 
 
+# Per-model jitted encode cache.  A fresh ``@jax.jit`` closure inside
+# ``evaluate_model`` would carry its own trace cache, so every eval pass
+# would re-trace (and, off the persistent compile cache, re-compile) the
+# encoders — per-epoch eval × 40-90 s remote compiles rivals training
+# time.  Keyed by model identity (strong ref held: eval models are
+# one-per-run, and holding them keeps ``id`` collisions impossible).
+_ENCODE_CACHE: Dict[int, Tuple[object, Callable]] = {}
+
+# Incremented at TRACE time (Python side effects run once per trace) —
+# lets tests assert the second eval pass does not re-trace.
+encode_trace_count = 0
+
+
+def _encode_fn(model) -> Callable:
+    """The jitted (variables, images, tokens) -> (img, txt) encoder for
+    ``model``, built once per model instance and reused across eval
+    passes (the reference re-enters its eval loop per epoch with the
+    same module, sparsify_clip.py:980)."""
+    hit = _ENCODE_CACHE.get(id(model))
+    if hit is not None and hit[0] is model:
+        return hit[1]
+
+    @jax.jit
+    def encode(v, images, tokens):
+        global encode_trace_count
+        encode_trace_count += 1
+        img = model.apply(v, images, method=model.encode_image)
+        txt = model.apply(v, tokens, method=model.encode_text)
+        return img, txt
+
+    _ENCODE_CACHE[id(model)] = (model, encode)
+    return encode
+
+
 def evaluate_model(
     model,
     variables,
@@ -164,12 +198,7 @@ def evaluate_model(
     batches shard over the data axis so encoding scales across chips
     (the similarity/metric block runs on the gathered embeddings).
     """
-
-    @jax.jit
-    def encode(v, images, tokens):
-        img = model.apply(v, images, method=model.encode_image)
-        txt = model.apply(v, tokens, method=model.encode_text)
-        return img, txt
+    encode = _encode_fn(model)
 
     def place(batch):
         images = jnp.asarray(batch["images"])

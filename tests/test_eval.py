@@ -156,6 +156,42 @@ def test_uniformity_increases_toward_uniform():
     assert u_spread > u_tight  # −W₂: larger (less negative) = more uniform
 
 
+def test_evaluate_model_does_not_retrace_across_passes():
+    """Repeated eval passes over the same model must reuse one jitted
+    encoder (eval._encode_fn cache): per-epoch eval × 40-90 s remote
+    compiles would otherwise rival training time.  The counter bumps at
+    trace time only, so the second/third calls must leave it unchanged
+    (reference cadence: one eval per epoch with the same module,
+    sparsify_clip.py:980)."""
+    import sparsify_clip_tpu.eval as eval_mod
+    from sparsify_clip_tpu.models import create_model
+
+    model, variables = create_model("tiny-test")
+
+    rng = np.random.default_rng(5)
+
+    def batch():
+        tokens = rng.integers(1, 49000, size=(8, 77)).astype(np.int32)
+        tokens[:, 0], tokens[:, -1] = 49406, 49407
+        return {
+            "images": rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+            "tokens": tokens,
+        }
+
+    first = eval_mod.encode_trace_count
+    m1 = eval_mod.evaluate_model(model, variables, [batch()])
+    assert eval_mod.encode_trace_count == first + 1
+    # fresh batches, same shapes: no retrace, metrics still produced
+    m2 = eval_mod.evaluate_model(model, variables, [batch()])
+    m3 = eval_mod.evaluate_model(model, variables, [batch()])
+    assert eval_mod.encode_trace_count == first + 1
+    assert set(m1) == set(m2) == set(m3)
+    # a DIFFERENT model instance gets its own cache entry (one trace)
+    twin = model.clone(dtype=jnp.float32)
+    eval_mod.evaluate_model(twin, variables, [batch()])
+    assert eval_mod.encode_trace_count == first + 2
+
+
 def test_eval_fp32_twin_and_metric_drift_bound():
     """``make_eval_model`` gives an fp32-compute twin sharing the bf16
     model's fp32 params (reference eval runs with no autocast,

@@ -105,7 +105,14 @@ def test_two_process_training_matches_single():
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
-    coordinator = "localhost:23457"
+    # ephemeral coordinator port: bind 0, let the OS pick, release it —
+    # a hardcoded port flakes against concurrent runs/leftover workers
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
     procs = [
         subprocess.Popen(
             [sys.executable,

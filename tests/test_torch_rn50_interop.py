@@ -176,3 +176,150 @@ def test_rn50_embeddings_match_torch(towers):
     np.testing.assert_allclose(
         np.asarray(ours), theirs.numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+# ------------------------------------------------------------------
+# Train-mode lockstep: the composition BN-fold custom VJP × unbiased
+# running variance × per-batch stats × AdamW(wd on everything) must
+# track torch end to end — not just piecewise.  This is the practical
+# substitute for an unrunnable 100-epoch COCO A/B against the
+# reference's train loop (sparsify_clip.py:682-986; AdamW at :730).
+
+
+def _anchor_loss_torch(emb, target, temp=0.1):
+    emb = emb / emb.norm(dim=-1, keepdim=True)
+    sim = emb @ torch.from_numpy(target).T / temp
+    lbl = torch.arange(emb.shape[0])
+    return (
+        torch.nn.functional.cross_entropy(sim, lbl)
+        + torch.nn.functional.cross_entropy(sim.T, lbl)
+    ) / 2
+
+
+def test_rn50_train_mode_adamw_lockstep_vs_torch():
+    """≥5 fp32 AdamW steps of the anchor loss on identical batches in
+    TRAIN mode: per-step losses, final params and BN running statistics
+    must agree between the torch tower and our BN-folded flax tower."""
+    import optax
+
+    from sparsify_clip_tpu.losses import LossContext, make_loss_fn
+    from sparsify_clip_tpu.utils.numerics import l2_normalize
+
+    layers, width, image_size, embed_dim, heads = (1, 1, 1, 1), 8, 32, 16, 4
+    B, STEPS, LR = 8, 5, 1e-3
+
+    tmodel = TorchModifiedResNet(layers, width, image_size, embed_dim, heads)
+    _randomize(tmodel, seed=3)
+    tmodel.train()
+
+    fmodel = ModifiedResNet(
+        layers=layers, width=width, image_size=image_size,
+        embed_dim=embed_dim, heads=heads,
+    )
+    variables = fmodel.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)),
+        train=False,
+    )
+    # state_dict tensors are live views — torch's in-place AdamW updates
+    # would mutate them under us; snapshot before the torch loop runs
+    sd = {
+        f"module.visual.{k}": v.detach().clone()
+        for k, v in tmodel.state_dict().items()
+    }
+    flat = load_torch_clip_state_dict(sd)
+    params = fill_from_flat(variables["params"], flat, prefix="visual/")
+    batch_stats = fill_from_flat(
+        variables["batch_stats"], flat, prefix="batch_stats/visual/"
+    )
+
+    rng = np.random.default_rng(7)
+    images = rng.standard_normal((STEPS, B, image_size, image_size, 3)).astype(
+        np.float32
+    )
+    target = rng.standard_normal((B, embed_dim)).astype(np.float32)
+    target /= np.linalg.norm(target, axis=1, keepdims=True)
+
+    # --- torch side (train mode, AdamW default wd=0.01 on everything)
+    opt_t = torch.optim.AdamW(tmodel.parameters(), lr=LR)
+    torch_losses = []
+    for s in range(STEPS):
+        emb = tmodel(torch.from_numpy(images[s].transpose(0, 3, 1, 2)))
+        loss = _anchor_loss_torch(emb, target)
+        torch_losses.append(float(loss.detach()))
+        opt_t.zero_grad()
+        loss.backward()
+        opt_t.step()
+
+    # --- our side (fp32, BN fold active in train mode)
+    loss_core = make_loss_fn("anchor")
+    ctx = LossContext(
+        temperature=jnp.float32(0.1), beta=jnp.float32(0.0),
+        alpha=jnp.float32(0.0), warm=jnp.array(False),
+    )
+    tgt = jnp.asarray(target)
+
+    def loss_of(p, bs, x):
+        emb, new_vars = fmodel.apply(
+            {"params": p, "batch_stats": bs}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        loss, _ = loss_core(l2_normalize(emb), tgt, ctx)
+        return loss, new_vars["batch_stats"]
+
+    opt = optax.adamw(LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, bs, os_, x):
+        (loss, new_bs), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            p, bs, x
+        )
+        updates, os_ = opt.update(grads, os_, p)
+        return loss, optax.apply_updates(p, updates), new_bs, os_
+
+    jax_losses = []
+    for s in range(STEPS):
+        loss, params, batch_stats, opt_state = step(
+            params, batch_stats, opt_state, jnp.asarray(images[s])
+        )
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=5e-4, atol=5e-5)
+
+    # final state agreement via the same conversion machinery: running
+    # stats (unbiased-var tracking) and parameters after 5 AdamW steps
+    sd_after = {f"module.visual.{k}": v for k, v in tmodel.state_dict().items()}
+    flat_after = load_torch_clip_state_dict(sd_after)
+    want_params = fill_from_flat(variables["params"], flat_after, prefix="visual/")
+    want_stats = fill_from_flat(
+        variables["batch_stats"], flat_after, prefix="batch_stats/visual/"
+    )
+
+    flat_ours = jax.tree_util.tree_leaves_with_path(params)
+    flat_want = jax.tree_util.tree_leaves_with_path(want_params)
+    for (path, ours), (_, want) in zip(flat_ours, flat_want):
+        key = jax.tree_util.keystr(path)
+        if "k_proj" in key and "bias" in key:
+            # softmax over keys is shift-invariant, so k_proj.bias has a
+            # mathematically ZERO gradient; Adam divides the ~1e-8
+            # numerical-noise gradient by its own ~1e-8 second moment and
+            # walks the parameter O(lr) in framework-specific random
+            # directions.  The parameter has no effect on the function —
+            # excluded rather than loosened.
+            continue
+        # atol ~one lr quantum: elements whose true gradient is near
+        # zero sit at Adam's noise floor and can drift ±lr·steps·ε in
+        # framework-specific directions; systematic divergence (a wrong
+        # gradient) would exceed this within the 5 steps.
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(want), rtol=2e-3, atol=1.2 * LR,
+            err_msg=f"param {key}",
+        )
+    for (path, ours), (_, want) in zip(
+        jax.tree_util.tree_leaves_with_path(batch_stats),
+        jax.tree_util.tree_leaves_with_path(want_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(want), rtol=1e-3, atol=1e-5,
+            err_msg=f"batch_stat {jax.tree_util.keystr(path)}",
+        )
