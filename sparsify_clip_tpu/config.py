@@ -83,21 +83,28 @@ class ExperimentConfig:
     dataset: str = "coco"
     # Use Pallas fused kernels for the loss block (XLA fallback if False).
     use_pallas: bool = True
-    # Per-block rematerialization in the towers: ~25% step-time cost,
-    # required for per-chip batches >= 512 on 16G HBM.  The reference
-    # batch (256/chip) fits without it.
+    # Per-block rematerialization in the towers.  Measured (BASELINE.md
+    # "Round-4 measurements"): every zoo model through ViT-L-14@bs256
+    # and RN50x16@bs64 now fits WITHOUT remat, and no-remat is 18-23%
+    # faster — leave this off until a config actually hits the 16G
+    # memory cliff (per-chip ViT-B batches >= 512 still fit plain).
     remat: bool = False
     # Selective remat policy (when remat is on): "nothing" recomputes
     # whole blocks (max memory savings); "dots" saves matmul results;
     # "dots_no_batch" saves only unbatched dots (dense projections);
     # "attn_out" saves attention outputs, recomputes the MLP half.
-    # Policies trade memory back for less recompute — pick per model
-    # (models/layers.py::resolve_remat_policy; measured in BASELINE.md).
+    # Measured (BASELINE.md "Round-4 measurements"): "dots_no_batch"
+    # is the best true-remat policy (+3.5% over "nothing" on RN50x16);
+    # "dots" fails to compile at the sizes where remat matters;
+    # no-remat beats every policy wherever it fits
+    # (models/layers.py::resolve_remat_policy).
     remat_policy: str = "nothing"
     # Space-to-depth stem for ResNet towers: run stem_conv1 as a 2×2
     # conv over the s2d(2)-repacked input — mathematically identical
     # (the 3×3 kernel is repacked in-graph; same parameter tree), a
-    # pure MXU/HBM data-layout experiment.  Measured in BASELINE.md.
+    # pure MXU/HBM data-layout experiment.  Measured NEGATIVE on RN50
+    # bs256 (1,711 vs 1,719 pairs/s; BASELINE.md "Round-4
+    # measurements") — kept as a documented knob, off by default.
     stem_s2d: bool = False
     # fp32 LayerNorm statistics in the towers (quality default; bf16
     # measured no faster on v5e — knob retained for experimentation).
