@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from sparsify_clip_tpu.models.layers import quick_gelu
+from sparsify_clip_tpu.models.layers import gelu_exact, quick_gelu
 from sparsify_clip_tpu.models.resnet import ModifiedResNet
 from sparsify_clip_tpu.models.text import TextTransformer
 from sparsify_clip_tpu.models.vit import VisionTransformer
@@ -125,7 +125,7 @@ class CLIP(nn.Module):
     ln_fp32: bool = True
 
     def setup(self):
-        act = quick_gelu if self.cfg.quick_gelu else nn.gelu
+        act = quick_gelu if self.cfg.quick_gelu else gelu_exact
         if self.cfg.vision_kind == "resnet":
             self.visual = ModifiedResNet(
                 layers=tuple(self.cfg.vision_layers),

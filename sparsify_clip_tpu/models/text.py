@@ -15,7 +15,7 @@ from typing import Any, Callable
 import flax.linen as nn
 import jax.numpy as jnp
 
-from sparsify_clip_tpu.models.layers import LayerNorm, Transformer
+from sparsify_clip_tpu.models.layers import LayerNorm, Transformer, gelu_exact
 
 
 class TextTransformer(nn.Module):
@@ -26,7 +26,7 @@ class TextTransformer(nn.Module):
     layers: int = 12
     embed_dim: int = 512
     dtype: Any = jnp.float32
-    act: Callable[[jnp.ndarray], jnp.ndarray] = nn.gelu
+    act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
     remat: bool = False
     remat_policy: Any = None
     ln_fp32: bool = True
