@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--eval-samples", type=int, default=256)
     ap.add_argument("--log-dir", default="logs/bench_system")
+    ap.add_argument("--device-augment", action="store_true",
+                    help="uint8 staging images + on-device crop/flip/"
+                         "normalize (4x smaller host->device transfers)")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +118,7 @@ def main():
         "async_checkpoint": True,
         "plot_embeddings": True,
         "log_backend": "jsonl",
+        "device_augment": args.device_augment,
     })
 
     t0 = time.perf_counter()

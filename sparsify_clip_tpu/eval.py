@@ -151,9 +151,12 @@ def make_eval_model(model, eval_fp32: bool = True):
 # ``evaluate_model`` would carry its own trace cache, so every eval pass
 # would re-trace (and, off the persistent compile cache, re-compile) the
 # encoders — per-epoch eval × 40-90 s remote compiles rivals training
-# time.  Keyed by model identity (strong ref held: eval models are
-# one-per-run, and holding them keeps ``id`` collisions impossible).
+# time.  Keyed by model identity (strong ref held: holding the model
+# keeps ``id`` collisions impossible).  FIFO-capped so a long directory
+# sweep (one or two eval models per experiment) cannot accumulate
+# compiled executables without bound.
 _ENCODE_CACHE: Dict[int, Tuple[object, Callable]] = {}
+_ENCODE_CACHE_MAX = 8
 
 # Incremented at TRACE time (Python side effects run once per trace) —
 # lets tests assert the second eval pass does not re-trace.
@@ -177,6 +180,8 @@ def _encode_fn(model) -> Callable:
         txt = model.apply(v, tokens, method=model.encode_text)
         return img, txt
 
+    while len(_ENCODE_CACHE) >= _ENCODE_CACHE_MAX:
+        _ENCODE_CACHE.pop(next(iter(_ENCODE_CACHE)))
     _ENCODE_CACHE[id(model)] = (model, encode)
     return encode
 
