@@ -16,6 +16,8 @@ Usage:
   python scripts/bench_remat.py --model ViT-L-14 --batch 128
   python scripts/bench_remat.py --model RN50x16 --batch 64 \
       --policies nothing,dots,dots_no_batch
+  python scripts/bench_remat.py --model ViT-L-14 --batch 96,112,144 \
+      --policies '' --no-remat-control   # batch curve, one process
 """
 
 from __future__ import annotations
@@ -73,7 +75,8 @@ def bench_variant(model, batch, remat, policy, steps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ViT-L-14")
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", default="128",
+                    help="batch size, or comma list to sweep in one process")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument(
         "--policies", default="nothing,dots,dots_no_batch,attn_out",
@@ -84,19 +87,23 @@ def main():
 
     import jax
 
+    batches = [int(b) for b in str(args.batch).split(",") if b]
     out = {"model": args.model, "batch": args.batch,
            "backend": jax.default_backend(), "variants": {}}
     variants = [(True, p) for p in args.policies.split(",") if p]
     if args.no_remat_control:
         variants.insert(0, (False, "nothing"))
-    for remat, policy in variants:
-        key = f"remat={remat}:{policy}" if remat else "no_remat"
-        try:
-            out["variants"][key] = bench_variant(
-                args.model, args.batch, remat, policy, args.steps)
-        except Exception as exc:  # XlaRuntimeError OOM etc. — record & go on
-            out["variants"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-        print(json.dumps({key: out["variants"][key]}), flush=True)
+    for batch in batches:
+        for remat, policy in variants:
+            key = f"remat={remat}:{policy}" if remat else "no_remat"
+            if len(batches) > 1:
+                key = f"bs{batch}:{key}"
+            try:
+                out["variants"][key] = bench_variant(
+                    args.model, batch, remat, policy, args.steps)
+            except Exception as exc:  # XlaRuntimeError OOM etc. — record & go on
+                out["variants"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            print(json.dumps({key: out["variants"][key]}), flush=True)
     print(json.dumps(out, indent=1))
 
 

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Analytic FLOPs audit: XLA's own cost analysis of the REAL train step.
+
+For each requested zoo model this lowers the exact experiment-6 train
+step that the CLI runs (``create_train_setup``) on the CPU backend and
+reads ``jax.stage.Lowered.cost_analysis()`` — the compiler's pre-
+optimization FLOP count for the whole step (fwd + bwd + optimizer), no
+hand-derived formulas.  Combined with a measured step time it yields
+the sustained TFLOP/s and the fraction of bf16 peak — the per-model
+MFU column in BASELINE.md's "Speed-of-light summary".
+
+Runs entirely on host (no chip needed): the count is a property of the
+traced computation, not of where it executes.  The Pallas fused paths
+are backend-gated to TPU, so the CPU lowering counts their XLA twins —
+the same math (tests/test_pallas_* pin the equivalence).
+
+Usage:
+  python scripts/flops_audit.py                         # whole zoo
+  python scripts/flops_audit.py --models ViT-B-32,RN50 \
+      --step-ms 99.5,148.5 --batch 256,256              # + sustained TF/s
+
+Reference anchor: the per-pair FLOP framing matches BASELINE.md's
+roofline sections; the reference itself publishes no FLOPs
+(/root/reference/README.md:1-49).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import _bench  # noqa: F401  (side effect: repo root on sys.path)
+
+# v5e bf16 peak, TFLOP/s — the denominator for the MFU column.
+BF16_PEAK_TFLOPS = 197.0
+
+
+def audit_model(model: str, batch: int):
+    import jax
+    import numpy as np
+
+    from sparsify_clip_tpu.config import ExperimentConfig
+    from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
+    from sparsify_clip_tpu.parallel.mesh import create_mesh
+    from sparsify_clip_tpu.train import create_train_setup
+
+    config = ExperimentConfig.from_dict({
+        "model": model, "batch_size": batch, "epochs": 100,
+        "learning_rate": 1e-4,
+        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
+        "only_lunif_epochs": 1, "anchor_temperature": 0.1,
+        "fp16": True, "seed": 42,
+    })
+    mesh = create_mesh(data=1, model=1)
+    setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
+
+    size = MODEL_REGISTRY[model].image_size
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, 49000, size=(batch, 77)).astype(np.int32)
+    tokens[:, 0], tokens[:, -1] = 49406, 49407
+    batch_d = {
+        "images": rng.standard_normal((batch, size, size, 3)).astype(np.float32),
+        "tokens": tokens,
+    }
+
+    # the setup's step is already jitted; the _jitted hook exposes the
+    # AOT surface (train.py) — lower under the mesh like the live path
+    jitted = getattr(setup.train_step, "_jitted", setup.train_step)
+    with jax.sharding.set_mesh(mesh):
+        lowered = jitted.lower(setup.state, batch_d)
+    cost = lowered.cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older JAX returns one per device
+        cost = cost[0]
+    flops = float(cost.get("flops", float("nan")))
+    return {
+        "batch": batch,
+        "step_gflops": round(flops / 1e9, 1),
+        "gflops_per_pair": round(flops / batch / 1e9, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--models",
+        default="ViT-B-32,ViT-B-16,ViT-L-14,RN50,RN101,RN50x4,RN50x16")
+    ap.add_argument("--batch", default="256,256,128,256,256,128,64",
+                    help="comma list matching --models (or one value)")
+    ap.add_argument("--step-ms", default="",
+                    help="optional comma list of measured step times; adds "
+                         "sustained TFLOP/s and %%-of-bf16-peak columns")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # axon override: CLAUDE.md
+
+    models = args.models.split(",")
+    batches = [int(b) for b in args.batch.split(",")]
+    if len(batches) == 1:
+        batches *= len(models)
+    step_ms = [float(s) for s in args.step_ms.split(",") if s]
+
+    out = {}
+    for i, (model, batch) in enumerate(zip(models, batches)):
+        row = audit_model(model, batch)
+        if i < len(step_ms):
+            tf = row["step_gflops"] / step_ms[i]  # GF / ms == TFLOP/s
+            row["step_ms"] = step_ms[i]
+            row["sustained_tflops"] = round(tf, 1)
+            row["pct_bf16_peak"] = round(100 * tf / BF16_PEAK_TFLOPS, 1)
+        out[model] = row
+        print(json.dumps({model: row}), flush=True)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -319,3 +319,19 @@ def test_folded_bn_mean_var_cotangents_rejected():
 
     g = jax.grad(through_y)(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_train_step_aot_lower_and_cost_analysis():
+    """The step exposes an AOT surface (train.py's ``_jitted`` hook):
+    ``lower`` + ``cost_analysis`` must keep working — it powers
+    ``scripts/flops_audit.py``'s speed-of-light table (BASELINE.md)."""
+    cfg = _config()
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    jitted = setup.train_step._jitted
+    with jax.sharding.set_mesh(mesh):
+        lowered = jitted.lower(setup.state, shard_batch(_batch(), mesh))
+    cost = lowered.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    assert float(cost["flops"]) > 0
