@@ -32,8 +32,6 @@ import _bench  # noqa: F401  (side effect: repo root on sys.path)
 
 
 def bench_variant(model, batch, remat, policy, steps):
-    import jax
-
     from sparsify_clip_tpu.config import ExperimentConfig
     from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
     from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch

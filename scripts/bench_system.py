@@ -12,7 +12,15 @@ the wall-clock went:
                      ``eval_first_s`` isolates the compile-heavy first
                      pass; plots happen inside eval and are also
                      broken out as ``plot_s``)
-* ``ckpt_s``       — weights-npz + orbax full-state saves
+* ``ckpt_s``       — weights-npz + orbax full-state saves.  With
+                     ``async_checkpoint`` (this script's default) this
+                     is the SYNCHRONOUS portion only: the device→host
+                     param fetch at enqueue plus the end-of-run
+                     ``wait_for_async_saves`` drain; background
+                     serialization that overlaps the epoch loop lands
+                     in ``train_loop_s`` — that overlap being the
+                     point of async saves, it is deliberately not
+                     double-counted here
 * ``train_loop_s`` — everything else inside the epoch loop: jit'd
                      steps + host data plane + step compile
 * per-epoch device step stats from the run's own JSONL log
@@ -121,13 +129,18 @@ def main():
         "device_augment": args.device_augment,
     })
 
+    # RunLogger appends; a stale JSONL from a previous invocation with
+    # the same log-dir would pollute per_epoch_device_step below
+    log_path = os.path.join(args.log_dir, f"{run_name}.jsonl")
+    if os.path.exists(log_path):
+        os.remove(log_path)
+
     t0 = time.perf_counter()
     final = cli.main(config)
     total_s = time.perf_counter() - t0
 
     # per-epoch device step stats from the run's own JSONL log
     epochs = []
-    log_path = os.path.join(args.log_dir, f"{run_name}.jsonl")
     if os.path.exists(log_path):
         with open(log_path) as fh:
             for line in fh:

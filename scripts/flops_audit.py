@@ -99,6 +99,14 @@ def main():
     if len(batches) == 1:
         batches *= len(models)
     step_ms = [float(s) for s in args.step_ms.split(",") if s]
+    # loud on mispaired lists — zip truncation would silently report a
+    # partial zoo as if it were complete
+    if len(batches) != len(models):
+        raise SystemExit(
+            f"--batch has {len(batches)} entries for {len(models)} models")
+    if step_ms and len(step_ms) != len(models):
+        raise SystemExit(
+            f"--step-ms has {len(step_ms)} entries for {len(models)} models")
 
     out = {}
     for i, (model, batch) in enumerate(zip(models, batches)):

@@ -105,29 +105,48 @@ def test_two_process_training_matches_single():
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
-    # ephemeral coordinator port: bind 0, let the OS pick, release it —
-    # a hardcoded port flakes against concurrent runs/leftover workers
+    # ephemeral coordinator port: bind 0, let the OS pick, and HOLD the
+    # probe socket until right before spawn (so a concurrent run probing
+    # meanwhile gets a different port).  The residual race — another
+    # process grabbing the port between probe close and the coordinator
+    # bind, which happens a slow jax-import later — is handled by
+    # retrying the whole spawn on a bind failure.
     import socket
 
-    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coordinator = f"localhost:{port}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable,
-             os.path.join(os.path.dirname(__file__), "multihost_worker.py"),
-             "dist", coordinator, "2", str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=600)
-        assert p.returncode == 0, f"dist worker failed\n{stdout}\n{stderr}"
-        assert "WORKER-DONE" in stdout
-        outs.append([l.split() for l in stdout.splitlines() if l.startswith("LOSS")])
+    for attempt in range(3):
+        probe = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        probe.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        probe.bind(("localhost", 0))
+        port = probe.getsockname()[1]
+        coordinator = f"localhost:{port}"
+        try:
+            procs = [
+                subprocess.Popen(
+                    [sys.executable,
+                     os.path.join(
+                         os.path.dirname(__file__), "multihost_worker.py"),
+                     "dist", coordinator, "2", str(i)],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                    env=env,
+                )
+                for i in range(2)
+            ]
+        finally:
+            probe.close()
+        outs = []
+        results = [p.communicate(timeout=600) for p in procs]
+        if attempt < 2 and any(
+            p.returncode != 0 and "address" in (err or "").lower()
+            for p, (_, err) in zip(procs, results)
+        ):
+            continue  # coordinator lost the port race; fresh port
+        for p, (stdout, stderr) in zip(procs, results):
+            assert p.returncode == 0, f"dist worker failed\n{stdout}\n{stderr}"
+            assert "WORKER-DONE" in stdout
+            outs.append(
+                [l.split() for l in stdout.splitlines() if l.startswith("LOSS")]
+            )
+        break
 
     # both processes observe the identical replicated loss
     assert outs[0] == outs[1] and len(outs[0]) == 2
