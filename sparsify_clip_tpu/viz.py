@@ -4,11 +4,14 @@ Host-side counterpart of ``visualize_embeddings``
 (sparsify_clip.py:192-302): sample up to 500 pairs, jointly reduce to
 3 components, renormalize onto the unit sphere, scatter text (red) vs
 vision (blue) on fixed [-1, 1] axes, save a PNG.  PCA is computed with
-an SVD (no sklearn dependency needed); t-SNE/UMAP are used when their
-libraries are importable and reported as skipped otherwise (this
-environment ships neither openTSNE nor umap — openTSNE is also missing
-from the reference's own environment.yml, a latent env bug noted in
-SURVEY.md §2.11).
+an SVD (no sklearn dependency needed); t-SNE uses openTSNE when
+importable (the reference's library, sparsify_clip.py:232) and
+otherwise the in-repo exact implementation (viz_tsne.py) — openTSNE
+is missing from this environment AND from the reference's own
+environment.yml (latent env bug, SURVEY.md §2.11), so a fallback, not
+a gate, is what keeps the reference's per-eval t-SNE panel alive.
+UMAP (numba/llvmlite stack, likewise uninstallable here) remains
+gated and reported as skipped.
 """
 
 from __future__ import annotations
@@ -34,7 +37,11 @@ def _reduce(data: np.ndarray, method: str) -> Optional[np.ndarray]:
 
             return np.asarray(TSNE(n_components=3, n_jobs=1).fit(data))
         except ImportError:
-            return None
+            # self-contained exact fallback (viz_tsne.py) — the plot
+            # panel no longer gates on an uninstallable library
+            from sparsify_clip_tpu.viz_tsne import tsne
+
+            return tsne(data, n_components=3)
     if method == "umap":
         try:
             import umap  # type: ignore
