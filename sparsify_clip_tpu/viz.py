@@ -4,14 +4,14 @@ Host-side counterpart of ``visualize_embeddings``
 (sparsify_clip.py:192-302): sample up to 500 pairs, jointly reduce to
 3 components, renormalize onto the unit sphere, scatter text (red) vs
 vision (blue) on fixed [-1, 1] axes, save a PNG.  PCA is computed with
-an SVD (no sklearn dependency needed); t-SNE uses openTSNE when
-importable (the reference's library, sparsify_clip.py:232) and
-otherwise the in-repo exact implementation (viz_tsne.py) — openTSNE
-is missing from this environment AND from the reference's own
-environment.yml (latent env bug, SURVEY.md §2.11), so a fallback, not
-a gate, is what keeps the reference's per-eval t-SNE panel alive.
-UMAP (numba/llvmlite stack, likewise uninstallable here) remains
-gated and reported as skipped.
+an SVD (no sklearn dependency needed); t-SNE and UMAP use their
+reference libraries when importable (openTSNE / umap-learn,
+sparsify_clip.py:232,235) and otherwise the in-repo implementations
+(viz_tsne.py / viz_umap.py) — openTSNE is missing from this
+environment AND from the reference's own environment.yml (latent env
+bug, SURVEY.md §2.11) and umap-learn's numba stack is likewise
+uninstallable here, so fallbacks, not gates, keep the reference's
+per-eval triple plot alive.
 """
 
 from __future__ import annotations
@@ -50,7 +50,11 @@ def _reduce(data: np.ndarray, method: str) -> Optional[np.ndarray]:
                 umap.UMAP(n_components=3, n_jobs=8).fit_transform(data)
             )
         except ImportError:
-            return None
+            # self-contained fallback (viz_umap.py): same calibrated
+            # fuzzy graph + SGD, exact kNN at panel size
+            from sparsify_clip_tpu.viz_umap import umap_embed
+
+            return umap_embed(data, n_components=3)
     raise NotImplementedError(f"method {method!r}: only pca/tsne/umap")
 
 

@@ -61,20 +61,18 @@ def test_pca_sphere_plot(tmp_path):
     assert path is not None and os.path.getsize(path) > 1000
 
 
-def test_umap_gated_tsne_falls_back(tmp_path):
-    # umap (numba stack) isn't installable — must skip gracefully, not
-    # crash; t-SNE now renders through the in-repo exact implementation
-    # when openTSNE (missing from the reference's own environment.yml
-    # too) is absent
+def test_tsne_umap_render_via_fallbacks(tmp_path):
+    # neither openTSNE nor umap-learn is installable here (openTSNE is
+    # missing from the reference's own environment.yml too) — both
+    # panels must render through the in-repo implementations
+    # (viz_tsne.py / viz_umap.py), not gate
     rng = np.random.default_rng(0)
     txt = rng.standard_normal((16, 8)).astype(np.float32)
-    assert visualize_embeddings(
-        txt, txt, method="umap", save_path=str(tmp_path / "umap.png")
-    ) is None
-    path = visualize_embeddings(
-        txt, txt, method="tsne", save_path=str(tmp_path / "tsne.png")
-    )
-    assert path is not None and os.path.getsize(path) > 1000
+    for method in ("tsne", "umap"):
+        path = visualize_embeddings(
+            txt, txt, method=method, save_path=str(tmp_path / f"{method}.png")
+        )
+        assert path is not None and os.path.getsize(path) > 1000
 
 
 def test_builtin_tsne_separates_clusters():
@@ -141,3 +139,32 @@ def test_eval_plot_path(tmp_path):
     assert seen == {"txt": (8, 8), "img": (8, 8)}
     assert (tmp_path / "eval_pca.png").exists()
     assert len(metrics) == 13
+
+
+def test_builtin_umap_separates_clusters():
+    """The viz_umap fallback is a real UMAP: the a/b curve fit matches
+    umap-learn's canonical defaults, the fuzzy graph is a symmetric
+    [0,1] t-conorm, and separated input clusters stay separated."""
+    from sparsify_clip_tpu.viz_umap import (
+        _find_ab_params, _fuzzy_graph, umap_embed,
+    )
+
+    a, b = _find_ab_params(1.0, 0.1)
+    np.testing.assert_allclose([a, b], [1.5769, 0.8951], atol=1e-3)
+
+    rng = np.random.default_rng(0)
+    xa = rng.standard_normal((60, 64)) * 0.3
+    xb = rng.standard_normal((60, 64)) * 0.3 + 4.0
+    x = np.concatenate([xa, xb])
+    g = _fuzzy_graph(x, 15)
+    assert (g >= 0).all() and (g <= 1 + 1e-9).all()
+    np.testing.assert_allclose(g, g.T)
+
+    y = umap_embed(x, n_components=3)
+    assert y.shape == (120, 3) and np.isfinite(y).all()
+    ca, cb = y[:60].mean(0), y[60:].mean(0)
+    intra = max(
+        np.linalg.norm(y[:60] - ca, axis=1).mean(),
+        np.linalg.norm(y[60:] - cb, axis=1).mean(),
+    )
+    assert np.linalg.norm(ca - cb) > 2 * intra
