@@ -79,6 +79,41 @@ def audit_model(model: str, batch: int):
     }
 
 
+def audit_encode(model: str, batch: int):
+    """XLA-counted FLOPs of the serving path: CLIPEncoder's jitted
+    normalized-embedding encoders (inference.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparsify_clip_tpu.inference import CLIPEncoder
+    from sparsify_clip_tpu.models import create_model
+
+    model_m, variables = create_model(model, dtype=jnp.bfloat16)
+    size = model_m.cfg.image_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((batch, size, size, 3)), jnp.float32)
+    tokens = jnp.asarray(
+        rng.integers(1, model_m.cfg.vocab_size - 10,
+                     size=(batch, model_m.cfg.context_length)), jnp.int32)
+    encoder = CLIPEncoder(model_m, variables, tokenizer=None)
+
+    def flops_of(fn, *xs):
+        cost = jax.jit(fn).lower(variables, *xs).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+
+    img = flops_of(lambda v, x: encoder._encode_images(v, x), images)
+    txt = flops_of(lambda v, t: encoder._encode_tokens(v, t), tokens)
+    return {
+        "batch": batch,
+        "encode_image_gflops_per_item": round(img / batch / 1e9, 2),
+        "encode_text_gflops_per_item": round(txt / batch / 1e9, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -89,6 +124,10 @@ def main():
     ap.add_argument("--step-ms", default="",
                     help="optional comma list of measured step times; adds "
                          "sustained TFLOP/s and %%-of-bf16-peak columns")
+    ap.add_argument("--encode", action="store_true",
+                    help="audit the serving encode path instead of the "
+                         "train step; --step-ms then takes "
+                         "img_ms:txt_ms pairs per model")
     args = ap.parse_args()
 
     import jax
@@ -98,7 +137,7 @@ def main():
     batches = [int(b) for b in args.batch.split(",")]
     if len(batches) == 1:
         batches *= len(models)
-    step_ms = [float(s) for s in args.step_ms.split(",") if s]
+    step_ms = [s for s in args.step_ms.split(",") if s]
     # loud on mispaired lists — zip truncation would silently report a
     # partial zoo as if it were complete
     if len(batches) != len(models):
@@ -110,12 +149,25 @@ def main():
 
     out = {}
     for i, (model, batch) in enumerate(zip(models, batches)):
-        row = audit_model(model, batch)
-        if i < len(step_ms):
-            tf = row["step_gflops"] / step_ms[i]  # GF / ms == TFLOP/s
-            row["step_ms"] = step_ms[i]
-            row["sustained_tflops"] = round(tf, 1)
-            row["pct_bf16_peak"] = round(100 * tf / BF16_PEAK_TFLOPS, 1)
+        if args.encode:
+            row = audit_encode(model, batch)
+            if i < len(step_ms):
+                img_ms, txt_ms = (float(v) for v in step_ms[i].split(":"))
+                for kind, ms in (("image", img_ms), ("text", txt_ms)):
+                    gf = row[f"encode_{kind}_gflops_per_item"] * batch
+                    row[f"encode_{kind}_ms"] = ms
+                    tf = gf / ms
+                    row[f"encode_{kind}_tflops"] = round(tf, 1)
+                    row[f"encode_{kind}_pct_peak"] = round(
+                        100 * tf / BF16_PEAK_TFLOPS, 1)
+        else:
+            row = audit_model(model, batch)
+            if i < len(step_ms):
+                ms = float(step_ms[i])
+                tf = row["step_gflops"] / ms  # GF / ms == TFLOP/s
+                row["step_ms"] = ms
+                row["sustained_tflops"] = round(tf, 1)
+                row["pct_bf16_peak"] = round(100 * tf / BF16_PEAK_TFLOPS, 1)
         out[model] = row
         print(json.dumps({model: row}), flush=True)
     print(json.dumps(out, indent=1))
