@@ -168,3 +168,14 @@ def test_builtin_umap_separates_clusters():
         np.linalg.norm(y[60:] - cb, axis=1).mean(),
     )
     assert np.linalg.norm(ca - cb) > 2 * intra
+
+
+def test_builtin_reducers_deterministic():
+    """Same seed → identical embedding (plots must be reproducible
+    across eval passes and CI runs)."""
+    from sparsify_clip_tpu.viz_tsne import tsne
+    from sparsify_clip_tpu.viz_umap import umap_embed
+
+    x = np.random.default_rng(3).standard_normal((64, 16))
+    np.testing.assert_array_equal(tsne(x, seed=1), tsne(x, seed=1))
+    np.testing.assert_array_equal(umap_embed(x, seed=1), umap_embed(x, seed=1))
