@@ -21,12 +21,17 @@ the same.  ``viz._reduce`` prefers umap-learn when importable.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
+@functools.lru_cache(maxsize=8)
 def _find_ab_params(spread: float, min_dist: float) -> tuple[float, float]:
     """Least-squares fit of 1/(1 + a d^(2b)) to the target membership
-    curve — umap.umap_.find_ab_params verbatim in spirit."""
+    curve — umap.umap_.find_ab_params verbatim in spirit.  Cached: the
+    fit is a pure function of (spread, min_dist) and the viz path calls
+    it with the defaults every eval pass."""
     from scipy.optimize import curve_fit
 
     def curve(x, a, b):
