@@ -95,9 +95,7 @@ def _descent_jit():
 
     cpu = jax.devices("cpu")[0]
 
-    @functools.partial(
-        jax.jit, static_argnames=("early_iter", "n_iter"), device=cpu
-    )
+    @functools.partial(jax.jit, static_argnames=("early_iter", "n_iter"))
     def descent(p, y0, lr, exaggeration, early_iter, n_iter):
         n = y0.shape[0]
         off_diag = 1.0 - jnp.eye(n, dtype=y0.dtype)
