@@ -33,6 +33,16 @@ TIMED_STEPS = 20
 
 
 def main() -> None:
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    from _bench import wait_for_backend
+
+    wait_for_backend()  # ride out transient axon "Unavailable" init errors
+
     import jax
 
     from sparsify_clip_tpu.config import ExperimentConfig

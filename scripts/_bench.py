@@ -26,6 +26,34 @@ def fence(x) -> float:
     return float(np.asarray(x).ravel()[0])
 
 
+def wait_for_backend(retries: int = 6, sleep_s: float = 60.0):
+    """Initialize the JAX backend, retrying transient failures.
+
+    The axon tunnel's backend init can transiently raise
+    ``Unavailable: TPU backend setup/compile error`` while the remote
+    worker restarts (two round-4 ``bench_system`` runs died on exactly
+    this before doing any work).  jax does not cache the failure, so a
+    sleep-and-retry from the same process succeeds once the worker is
+    back.  Non-transient errors re-raise immediately."""
+    import jax
+
+    last = None
+    for attempt in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as err:  # xla_bridge wraps init failures
+            if "UNAVAILABLE" not in str(err).upper():
+                raise
+            last = err
+            print(
+                f"[bench] backend unavailable (attempt {attempt + 1}/"
+                f"{retries}), retrying in {sleep_s:.0f}s: {err}",
+                file=sys.stderr,
+            )
+            time.sleep(sleep_s)
+    raise last
+
+
 def timed(fn, *args, steps: int = 10, warmup: int = 2) -> float:
     """Mean seconds per call over ``steps`` fenced iterations."""
     out = None

@@ -47,6 +47,7 @@ import os
 import time
 
 import _bench  # noqa: F401  (side effect: repo root on sys.path)
+from _bench import wait_for_backend
 
 
 class PhaseTimer:
@@ -81,6 +82,8 @@ def main():
                     help="uint8 staging images + on-device crop/flip/"
                          "normalize (4x smaller host->device transfers)")
     args = ap.parse_args()
+
+    wait_for_backend()  # ride out transient axon "Unavailable" init errors
 
     import jax
 

@@ -137,6 +137,7 @@ def _descent_jit():
             )
         return np.asarray(out)
 
+    run.jitted = descent  # introspection hook for the retrace-guard test
     _DESCENT = run
     return run
 

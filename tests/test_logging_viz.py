@@ -179,3 +179,20 @@ def test_builtin_reducers_deterministic():
     x = np.random.default_rng(3).standard_normal((64, 16))
     np.testing.assert_array_equal(tsne(x, seed=1), tsne(x, seed=1))
     np.testing.assert_array_equal(umap_embed(x, seed=1), umap_embed(x, seed=1))
+
+
+def test_builtin_tsne_descent_compiles_once():
+    """The t-SNE gradient descent is ONE jitted fori_loop reused across
+    eval passes — a second same-shape call must not retrace (the viz
+    twin of the eval-encoder compile-once guarantee)."""
+    from sparsify_clip_tpu import viz_tsne
+
+    runner = viz_tsne._descent_jit()
+    assert viz_tsne._descent_jit() is runner  # builder memoized
+
+    x = np.random.default_rng(5).standard_normal((48, 8))
+    before = runner.jitted._cache_size()
+    viz_tsne.tsne(x)
+    after_first = runner.jitted._cache_size()
+    viz_tsne.tsne(x)
+    assert runner.jitted._cache_size() == after_first >= before
