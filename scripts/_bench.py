@@ -37,21 +37,20 @@ def wait_for_backend(retries: int = 6, sleep_s: float = 60.0):
     back.  Non-transient errors re-raise immediately."""
     import jax
 
-    last = None
     for attempt in range(retries):
         try:
             return jax.devices()
         except RuntimeError as err:  # xla_bridge wraps init failures
             if "UNAVAILABLE" not in str(err).upper():
                 raise
-            last = err
+            if attempt == retries - 1:
+                raise
             print(
                 f"[bench] backend unavailable (attempt {attempt + 1}/"
                 f"{retries}), retrying in {sleep_s:.0f}s: {err}",
                 file=sys.stderr,
             )
             time.sleep(sleep_s)
-    raise last
 
 
 def timed(fn, *args, steps: int = 10, warmup: int = 2) -> float:

@@ -28,7 +28,7 @@ def _reduce_pca(data: np.ndarray, k: int = 3) -> np.ndarray:
     return centered @ vt[:k].T
 
 
-def _reduce(data: np.ndarray, method: str) -> Optional[np.ndarray]:
+def _reduce(data: np.ndarray, method: str) -> np.ndarray:
     if method == "pca":
         return _reduce_pca(data)
     if method == "tsne":
@@ -67,8 +67,9 @@ def visualize_embeddings(
     save_path: Optional[str] = None,
     seed: int = 0,
 ) -> Optional[str]:
-    """Render one sphere plot; returns the saved path (None if the
-    reducer's library is unavailable or no save path given)."""
+    """Render one sphere plot; returns the saved path (None if no save
+    path was given — every reducer always produces an embedding, the
+    library imports fall back to the in-repo implementations)."""
     text_np = np.asarray(text_embeddings, np.float64)
     vision_np = np.asarray(vision_embeddings, np.float64)
 
@@ -78,10 +79,6 @@ def visualize_embeddings(
         text_np, vision_np = text_np[idx], vision_np[idx]
 
     reduced = _reduce(np.concatenate([text_np, vision_np], axis=0), method.lower())
-    if reduced is None:
-        print(f"[viz] skipping {method}: library not installed")
-        return None
-
     norms = np.linalg.norm(reduced, axis=1, keepdims=True)
     reduced = reduced / np.maximum(norms, 1e-12)
     text_r = reduced[: len(text_np)]

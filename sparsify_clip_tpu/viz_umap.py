@@ -118,28 +118,42 @@ def umap_embed(
     graph = _fuzzy_graph(x, n_neighbors)
     y = _spectral_init(graph, n_components, seed).astype(np.float64)
 
+    # Both directions of every edge, as in umap-learn's COO walk: each
+    # endpoint then appears as a head, so negative-sampling repulsion is
+    # applied symmetrically (keeping only heads < tails would starve
+    # high-index points of repulsion — they'd only ever be tails).
     heads, tails = np.nonzero(graph)
-    keep = heads < tails  # each undirected edge once; SGD moves both ends
-    heads, tails = heads[keep], tails[keep]
     weights = graph[heads, tails]
     w_max = weights.max()
     sample_p = weights / max(w_max, 1e-12)
 
+    # SGD in float32 (umap-learn's working dtype) with bincount-based
+    # scatter-adds — np.add.at's buffered fancy indexing is ~4× slower
+    # than a per-component bincount at panel-size edge counts
+    y = y.astype(np.float32)
+    k = y.shape[1]
+
+    def scatter_add(target, idx, contrib, alpha):
+        for c in range(k):
+            target[:, c] += alpha * np.bincount(
+                idx, weights=contrib[:, c], minlength=n
+            ).astype(np.float32)
+
     rng = np.random.default_rng(seed)
     for epoch in range(n_epochs):
-        alpha = learning_rate * (1.0 - epoch / n_epochs)
+        alpha = np.float32(learning_rate * (1.0 - epoch / n_epochs))
         mask = rng.random(heads.shape[0]) < sample_p
         h, t = heads[mask], tails[mask]
         if h.size == 0:
             continue
 
         diff = y[h] - y[t]
-        d2 = np.maximum(np.sum(diff * diff, axis=1), 1e-12)
+        d2 = np.maximum(np.sum(diff * diff, axis=1), np.float32(1e-12))
         # attraction: d/dy of log(1/(1 + a d^{2b}))
         coef = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2 ** b)
         grad = np.clip(coef[:, None] * diff, -4.0, 4.0)
-        np.add.at(y, h, alpha * grad)
-        np.add.at(y, t, -alpha * grad)
+        scatter_add(y, h, grad, alpha)
+        scatter_add(y, t, grad, -alpha)
 
         # repulsion: negative samples for each sampled edge head
         neg = rng.integers(0, n, size=(h.size, negative_sample_rate))
@@ -149,5 +163,5 @@ def umap_embed(
         coef_n = (2.0 * b) / ((0.001 + d2n) * (1.0 + a * d2n ** b))
         coef_n = np.where(neg == h[:, None], 0.0, coef_n)
         grad_n = np.clip(coef_n[..., None] * diff_n, -4.0, 4.0)
-        np.add.at(y, h, alpha * grad_n.sum(axis=1))
-    return y
+        scatter_add(y, h, grad_n.sum(axis=1), alpha)
+    return y.astype(np.float64)

@@ -241,11 +241,10 @@ def test_vit_clip_train_mode_adamw_lockstep_vs_torch():
 
     # snapshot (live views!) and convert through the real machinery
     sd = {
-        k if k.startswith("text.") else f"{k}": v.detach().clone()
+        k.replace("text.", "", 1) if k.startswith("text.") else k:
+            v.detach().clone()
         for k, v in tmodel.state_dict().items()
     }
-    sd = {k.replace("text.", "", 1) if k.startswith("text.") else k: v
-          for k, v in sd.items()}
     flat = load_torch_clip_state_dict(sd)
     trainables = {
         "visual": fill_from_flat(vis_vars["params"], flat, prefix="visual/"),
