@@ -77,10 +77,28 @@ MODEL_REGISTRY: Dict[str, CLIPConfig] = {
         name="ViT-B-16", embed_dim=512, vision_kind="vit",
         vision_width=768, vision_layers=(12,), vision_heads=12, patch_size=16,
     ),
+    "RN50x64": CLIPConfig(
+        name="RN50x64", embed_dim=1024, vision_kind="resnet", image_size=448,
+        vision_width=128, vision_layers=(3, 15, 36, 10), vision_heads=64,
+        text_width=1024, text_heads=16, text_layers=12,
+    ),
     "ViT-L-14": CLIPConfig(
         name="ViT-L-14", embed_dim=768, vision_kind="vit",
         vision_width=1024, vision_layers=(24,), vision_heads=16, patch_size=14,
         text_width=768, text_heads=12, text_layers=12,
+    ),
+    # The @336px fine-tune resolution of ViT-L-14 (open_clip
+    # "ViT-L-14-336"): identical towers, larger positional grid.
+    "ViT-L-14-336": CLIPConfig(
+        name="ViT-L-14-336", embed_dim=768, vision_kind="vit", image_size=336,
+        vision_width=1024, vision_layers=(24,), vision_heads=16, patch_size=14,
+        text_width=768, text_heads=12, text_layers=12,
+    ),
+    # LAION-scale ViT-H/14 (open_clip "ViT-H-14"): standard 4x MLP.
+    "ViT-H-14": CLIPConfig(
+        name="ViT-H-14", embed_dim=1024, vision_kind="vit",
+        vision_width=1280, vision_layers=(32,), vision_heads=16, patch_size=14,
+        text_width=1024, text_heads=16, text_layers=24,
     ),
     # Minutes-scale smoke model for CLI verification runs (full 49408
     # vocab / 77 context so the real tokenizer path is exercised, tiny
@@ -94,7 +112,8 @@ MODEL_REGISTRY: Dict[str, CLIPConfig] = {
 }
 # OpenAI-parameterized (QuickGELU) variants, mirroring open_clip's
 # "<name>-quickgelu" registry convention.
-for _base in ["RN50", "ViT-B-32", "ViT-B-16"]:
+for _base in ["RN50", "RN101", "ViT-B-32", "ViT-B-16", "ViT-L-14",
+              "ViT-L-14-336"]:
     _cfg = MODEL_REGISTRY[_base]
     MODEL_REGISTRY[f"{_base}-quickgelu"] = dataclasses.replace(
         _cfg, name=f"{_base}-quickgelu", quick_gelu=True

@@ -114,7 +114,8 @@ def test_registry_contains_reference_surface():
 @pytest.mark.parametrize(
     "name,want_embed",
     [("RN50", 1024), ("ViT-B-32", 512), ("RN50x4", 640), ("RN50x16", 768),
-     ("RN101", 512), ("ViT-B-16", 512), ("ViT-L-14", 768)],
+     ("RN101", 512), ("ViT-B-16", 512), ("ViT-L-14", 768),
+     ("RN50x64", 1024), ("ViT-L-14-336", 768), ("ViT-H-14", 1024)],
 )
 def test_full_model_shapes_via_eval_shape(name, want_embed):
     cfg = MODEL_REGISTRY[name]
@@ -138,7 +139,9 @@ def test_full_model_shapes_via_eval_shape(name, want_embed):
         for l in jax.tree_util.tree_leaves(variables_shape["params"])
     )
     # open_clip param counts where known; sanity floor otherwise.
-    want = {"RN50": 102_000_000, "ViT-B-32": 151_300_000}.get(name)
+    want = {"RN50": 102_000_000, "ViT-B-32": 151_300_000,
+            "RN50x64": 623_300_000, "ViT-L-14-336": 427_900_000,
+            "ViT-H-14": 986_100_000}.get(name)
     if want is not None:
         assert abs(n_params - want) / want < 0.03, f"{name}: {n_params:,} params"
     else:
