@@ -39,6 +39,9 @@ class CLIPConfig:
     vision_layers: Tuple[int, ...] = (3, 4, 6, 3)  # resnet stages or (depth,) for vit
     vision_heads: int = 32        # resnet: attnpool heads; vit: attention heads
     patch_size: int = 32          # vit only
+    # Non-4x MLP hidden widths (LAION ViT-g/bigG); None → width*4.
+    vision_mlp_hidden: Optional[int] = None
+    text_mlp_hidden: Optional[int] = None
     # text tower
     vocab_size: int = 49408
     context_length: int = 77
@@ -99,6 +102,20 @@ MODEL_REGISTRY: Dict[str, CLIPConfig] = {
         name="ViT-H-14", embed_dim=1024, vision_kind="vit",
         vision_width=1280, vision_layers=(32,), vision_heads=16, patch_size=14,
         text_width=1024, text_heads=16, text_layers=24,
+    ),
+    # LAION ViT-g/bigG (open_clip "ViT-g-14" / "ViT-bigG-14"):
+    # non-4x vision MLPs (6144/1408, 8192/1664).
+    "ViT-g-14": CLIPConfig(
+        name="ViT-g-14", embed_dim=1024, vision_kind="vit",
+        vision_width=1408, vision_layers=(40,), vision_heads=16,
+        patch_size=14, vision_mlp_hidden=6144,
+        text_width=1024, text_heads=16, text_layers=24,
+    ),
+    "ViT-bigG-14": CLIPConfig(
+        name="ViT-bigG-14", embed_dim=1280, vision_kind="vit",
+        vision_width=1664, vision_layers=(48,), vision_heads=16,
+        patch_size=14, vision_mlp_hidden=8192,
+        text_width=1280, text_heads=20, text_layers=32,
     ),
     # Minutes-scale smoke model for CLI verification runs (full 49408
     # vocab / 77 context so the real tokenizer path is exercised, tiny
@@ -164,6 +181,7 @@ class CLIP(nn.Module):
                 width=self.cfg.vision_width,
                 layers=self.cfg.vision_layers[0],
                 heads=self.cfg.vision_heads,
+                mlp_hidden=self.cfg.vision_mlp_hidden,
                 embed_dim=self.cfg.embed_dim,
                 dtype=self.dtype,
                 act=act,
@@ -179,6 +197,7 @@ class CLIP(nn.Module):
             width=self.cfg.text_width,
             heads=self.cfg.text_heads,
             layers=self.cfg.text_layers,
+            mlp_hidden=self.cfg.text_mlp_hidden,
             embed_dim=self.cfg.embed_dim,
             dtype=self.dtype,
             act=act,

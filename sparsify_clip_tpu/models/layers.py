@@ -150,13 +150,16 @@ class MultiHeadAttention(nn.Module):
 class MLP(nn.Module):
     width: int
     expansion: int = 4
+    # Explicit hidden width; overrides width*expansion when set (the
+    # LAION ViT-g/bigG towers use non-4x ratios: 6144/1408, 8192/1664).
+    mlp_hidden: Optional[int] = None
     dtype: Dtype = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = nn.Dense(
-            self.width * self.expansion,
+            self.mlp_hidden or self.width * self.expansion,
             dtype=self.dtype,
             kernel_init=nn.initializers.normal((2 * self.width) ** -0.5),
             name="c_fc",
@@ -175,6 +178,7 @@ class ResidualAttentionBlock(nn.Module):
 
     width: int
     heads: int
+    mlp_hidden: Optional[int] = None
     dtype: Dtype = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
     causal: bool = False
@@ -189,7 +193,8 @@ class ResidualAttentionBlock(nn.Module):
         # identity tag for the "attn_out" selective-remat policy
         # (resolve_remat_policy); free outside remat
         x = x + checkpoint_name(attn, "attn_out")
-        x = x + MLP(self.width, dtype=self.dtype, act=self.act, name="mlp")(
+        x = x + MLP(self.width, mlp_hidden=self.mlp_hidden,
+                    dtype=self.dtype, act=self.act, name="mlp")(
             LayerNorm(fp32=self.ln_fp32, name="ln_2")(x)
         )
         return x
@@ -199,6 +204,7 @@ class Transformer(nn.Module):
     width: int
     layers: int
     heads: int
+    mlp_hidden: Optional[int] = None
     dtype: Dtype = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
     # Causal (autoregressive) attention — the text tower's mask.
@@ -225,7 +231,8 @@ class Transformer(nn.Module):
         # them; lax.scan-over-layers only pays off at far greater depth.
         for i in range(self.layers):
             x = block_cls(
-                self.width, self.heads, dtype=self.dtype, act=self.act,
+                self.width, self.heads, mlp_hidden=self.mlp_hidden,
+                dtype=self.dtype, act=self.act,
                 causal=self.causal, ln_fp32=self.ln_fp32, name=f"resblock_{i}",
             )(x)
         return x

@@ -24,6 +24,8 @@ class TextTransformer(nn.Module):
     width: int = 512
     heads: int = 8
     layers: int = 12
+    # Non-4x MLP hidden width (ViT-bigG's text tower); None → width*4.
+    mlp_hidden: Any = None
     embed_dim: int = 512
     dtype: Any = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
@@ -50,7 +52,8 @@ class TextTransformer(nn.Module):
         x = token_embedding[tokens].astype(self.dtype)
         x = x + positional_embedding[:l].astype(self.dtype)
         x = Transformer(
-            self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
+            self.width, self.layers, self.heads, mlp_hidden=self.mlp_hidden,
+            dtype=self.dtype, act=self.act,
             causal=True, remat=self.remat, remat_policy=self.remat_policy,
             ln_fp32=self.ln_fp32, name="transformer",
         )(x)

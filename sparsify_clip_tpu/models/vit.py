@@ -24,6 +24,8 @@ class VisionTransformer(nn.Module):
     width: int = 768
     layers: int = 12
     heads: int = 12
+    # Non-4x MLP hidden width (ViT-g/bigG); None → width*4.
+    mlp_hidden: Any = None
     embed_dim: int = 512
     dtype: Any = jnp.float32
     act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
@@ -66,7 +68,8 @@ class VisionTransformer(nn.Module):
 
         x = LayerNorm(name="ln_pre")(x)
         x = Transformer(
-            self.width, self.layers, self.heads, dtype=self.dtype, act=self.act,
+            self.width, self.layers, self.heads, mlp_hidden=self.mlp_hidden,
+            dtype=self.dtype, act=self.act,
             remat=self.remat, remat_policy=self.remat_policy,
             ln_fp32=self.ln_fp32, name="transformer",
         )(x)

@@ -115,7 +115,8 @@ def test_registry_contains_reference_surface():
     "name,want_embed",
     [("RN50", 1024), ("ViT-B-32", 512), ("RN50x4", 640), ("RN50x16", 768),
      ("RN101", 512), ("ViT-B-16", 512), ("ViT-L-14", 768),
-     ("RN50x64", 1024), ("ViT-L-14-336", 768), ("ViT-H-14", 1024)],
+     ("RN50x64", 1024), ("ViT-L-14-336", 768), ("ViT-H-14", 1024),
+     ("ViT-g-14", 1024), ("ViT-bigG-14", 1280)],
 )
 def test_full_model_shapes_via_eval_shape(name, want_embed):
     cfg = MODEL_REGISTRY[name]
@@ -141,7 +142,8 @@ def test_full_model_shapes_via_eval_shape(name, want_embed):
     # open_clip param counts where known; sanity floor otherwise.
     want = {"RN50": 102_000_000, "ViT-B-32": 151_300_000,
             "RN50x64": 623_300_000, "ViT-L-14-336": 427_900_000,
-            "ViT-H-14": 986_100_000}.get(name)
+            "ViT-H-14": 986_100_000, "ViT-g-14": 1_366_700_000,
+            "ViT-bigG-14": 2_539_600_000}.get(name)
     if want is not None:
         assert abs(n_params - want) / want < 0.03, f"{name}: {n_params:,} params"
     else:
@@ -511,3 +513,33 @@ def test_s2d_pack_kernel_unit():
     )
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_mlp_hidden_override_shapes_and_forward():
+    """vision_mlp_hidden/text_mlp_hidden (the ViT-g/bigG non-4x MLPs)
+    change exactly the c_fc/c_proj shapes and the forward still runs."""
+    cfg = CLIPConfig(
+        name="tiny-g", embed_dim=16, vision_kind="vit", image_size=32,
+        vision_width=32, vision_layers=(2,), vision_heads=2, patch_size=16,
+        vision_mlp_hidden=112,  # != 4*32
+        vocab_size=64, context_length=8, text_width=16, text_heads=2,
+        text_layers=2, text_mlp_hidden=48,  # != 4*16
+    )
+    model = CLIP(cfg=cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+        jnp.zeros((2, 8), jnp.int32), train=False,
+    )
+    p = variables["params"]
+    vis_mlp = p["visual"]["transformer"]["resblock_0"]["mlp"]
+    txt_mlp = p["text"]["transformer"]["resblock_0"]["mlp"]
+    assert vis_mlp["c_fc"]["kernel"].shape == (32, 112)
+    assert vis_mlp["c_proj"]["kernel"].shape == (112, 32)
+    assert txt_mlp["c_fc"]["kernel"].shape == (16, 48)
+    assert txt_mlp["c_proj"]["kernel"].shape == (48, 16)
+    img, txt = model.apply(
+        variables, jnp.ones((2, 32, 32, 3)),
+        jnp.ones((2, 8), jnp.int32), train=False,
+    )
+    assert img.shape == (2, 16) and txt.shape == (2, 16)
+    assert np.isfinite(np.asarray(img)).all()
