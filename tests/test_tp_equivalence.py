@@ -25,6 +25,9 @@ MODEL_REGISTRY.setdefault(
         vision_width=32, vision_layers=(2,), vision_heads=2, patch_size=16,
         vocab_size=256, context_length=12, text_width=16, text_heads=2,
         text_layers=2,
+        # non-4x MLPs (the ViT-g/bigG shape): the c_fc/c_proj TP rules
+        # must shard arbitrary hidden widths, not just width*4
+        vision_mlp_hidden=48, text_mlp_hidden=24,
     ),
 )
 
