@@ -81,22 +81,30 @@ def audit_model(model: str, batch: int):
 
 def audit_encode(model: str, batch: int):
     """XLA-counted FLOPs of the serving path: CLIPEncoder's jitted
-    normalized-embedding encoders (inference.py)."""
+    normalized-embedding encoders (inference.py).
+
+    Variables are ABSTRACT (``jax.eval_shape`` init): ``lower()``
+    accepts ShapeDtypeStructs and the cost analysis is a property of
+    the traced computation, so billion-param towers (ViT-g/bigG) audit
+    without allocating a byte of weights."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from sparsify_clip_tpu.inference import CLIPEncoder
-    from sparsify_clip_tpu.models import create_model
+    from sparsify_clip_tpu.models.clip import CLIP, MODEL_REGISTRY
 
-    model_m, variables = create_model(model, dtype=jnp.bfloat16)
-    size = model_m.cfg.image_size
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.standard_normal((batch, size, size, 3)), jnp.float32)
-    tokens = jnp.asarray(
-        rng.integers(1, model_m.cfg.vocab_size - 10,
-                     size=(batch, model_m.cfg.context_length)), jnp.int32)
+    cfg = MODEL_REGISTRY[model]
+    model_m = CLIP(cfg=cfg, dtype=jnp.bfloat16)
+    size = cfg.image_size
+    variables = jax.eval_shape(
+        lambda: model_m.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),
+            jnp.zeros((1, cfg.context_length), jnp.int32), train=False,
+        )
+    )
+    images = jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32)
+    tokens = jax.ShapeDtypeStruct(
+        (batch, cfg.context_length), jnp.int32)
     encoder = CLIPEncoder(model_m, variables, tokenizer=None)
 
     def flops_of(fn, *xs):
