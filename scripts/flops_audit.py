@@ -35,7 +35,7 @@ import _bench  # noqa: F401  (side effect: repo root on sys.path)
 BF16_PEAK_TFLOPS = 197.0
 
 
-def audit_model(model: str, batch: int):
+def audit_model(model: str, batch: int, mesh_model: int = 1):
     import jax
     import numpy as np
 
@@ -50,8 +50,9 @@ def audit_model(model: str, batch: int):
         "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
         "only_lunif_epochs": 1, "anchor_temperature": 0.1,
         "fp16": True, "seed": 42,
+        "mesh_model": mesh_model,
     })
-    mesh = create_mesh(data=1, model=1)
+    mesh = create_mesh(data=1, model=mesh_model)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
 
     size = MODEL_REGISTRY[model].image_size
@@ -136,10 +137,17 @@ def main():
                     help="audit the serving encode path instead of the "
                          "train step; --step-ms then takes "
                          "img_ms:txt_ms pairs per model")
+    ap.add_argument("--mesh-model", type=int, default=1,
+                    help="tensor-parallel degree: lowers the train step "
+                         "TP-sharded over that many (virtual CPU) "
+                         "devices — validates the sharding rules for "
+                         "models that need TP to fit HBM (ViT-g/bigG)")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")  # axon override: CLAUDE.md
+    if args.mesh_model > 1:
+        jax.config.update("jax_num_cpu_devices", args.mesh_model)
 
     models = args.models.split(",")
     batches = [int(b) for b in args.batch.split(",")]
@@ -169,7 +177,9 @@ def main():
                     row[f"encode_{kind}_pct_peak"] = round(
                         100 * tf / BF16_PEAK_TFLOPS, 1)
         else:
-            row = audit_model(model, batch)
+            row = audit_model(model, batch, mesh_model=args.mesh_model)
+            if args.mesh_model > 1:
+                row["mesh_model"] = args.mesh_model
             if i < len(step_ms):
                 ms = float(step_ms[i])
                 tf = row["step_gflops"] / ms  # GF / ms == TFLOP/s
