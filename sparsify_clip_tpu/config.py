@@ -109,6 +109,14 @@ class ExperimentConfig:
     # fp32 LayerNorm statistics in the towers (quality default; bf16
     # measured no faster on v5e — knob retained for experimentation).
     ln_fp32: bool = True
+    # lax.scan over transformer layers (ViT + text towers): one traced
+    # and compiled block body regardless of depth — the compile-time /
+    # HLO-size lever for the 32-48 layer towers (ViT-H/g/bigG); the
+    # 12-24 layer reference zoo traces fast unrolled and XLA pipelines
+    # it better, so the default is off.  Changes the param tree
+    # (stacked layer axis): torch interop and checkpoints written with
+    # the unrolled layout do not convert.
+    scan_layers: bool = False
     # Device-side augmentation: the loader ships fixed-size uint8 images
     # (4x smaller transfers) and RandomResizedCrop/flip/normalize run
     # inside the train step's jit (ops/image.py).  Host-side transforms

@@ -159,6 +159,12 @@ class CLIP(nn.Module):
     # fp32 LayerNorm statistics (quality default; bf16 measured no
     # faster on v5e — knob retained for experimentation).
     ln_fp32: bool = True
+    # lax.scan over transformer layers (ViT + text towers): one
+    # compiled block body regardless of depth — the compile-time lever
+    # for ViT-H/g/bigG.  Changes the param tree (stacked layer axis);
+    # torch interop and unrolled checkpoints don't convert.  ResNet
+    # stages (heterogeneous blocks) always unroll.
+    scan_layers: bool = False
 
     def setup(self):
         act = quick_gelu if self.cfg.quick_gelu else gelu_exact
@@ -188,6 +194,7 @@ class CLIP(nn.Module):
                 remat=self.remat,
                 remat_policy=self.remat_policy,
                 ln_fp32=self.ln_fp32,
+                scan_layers=self.scan_layers,
             )
         else:
             raise ValueError(f"Unknown vision_kind {self.cfg.vision_kind}")
@@ -204,6 +211,7 @@ class CLIP(nn.Module):
             remat=self.remat,
             remat_policy=self.remat_policy,
             ln_fp32=self.ln_fp32,
+            scan_layers=self.scan_layers,
         )
 
     def encode_image(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -229,6 +237,7 @@ def create_model(
     remat_policy: Any = None,
     stem_s2d: bool = False,
     ln_fp32: bool = True,
+    scan_layers: bool = False,
 ):
     """Build a CLIP model + freshly-initialized variables.
 
@@ -242,7 +251,7 @@ def create_model(
     if image_size is not None:
         cfg = dataclasses.replace(cfg, image_size=image_size)
     model = CLIP(cfg=cfg, dtype=dtype, remat=remat, remat_policy=remat_policy,
-                 stem_s2d=stem_s2d, ln_fp32=ln_fp32)
+                 stem_s2d=stem_s2d, ln_fp32=ln_fp32, scan_layers=scan_layers)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     dummy_images = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)

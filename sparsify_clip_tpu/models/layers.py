@@ -200,6 +200,28 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+class _ScanBlock(nn.Module):
+    """Carry-signature adapter so ``nn.scan`` can loop one
+    :class:`ResidualAttentionBlock` over a stacked parameter tree."""
+
+    width: int
+    heads: int
+    mlp_hidden: Optional[int] = None
+    dtype: Dtype = jnp.float32
+    act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
+    causal: bool = False
+    ln_fp32: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _) -> tuple:
+        y = ResidualAttentionBlock(
+            self.width, self.heads, mlp_hidden=self.mlp_hidden,
+            dtype=self.dtype, act=self.act, causal=self.causal,
+            ln_fp32=self.ln_fp32, name="block",
+        )(x)
+        return y, None
+
+
 class Transformer(nn.Module):
     width: int
     layers: int
@@ -218,17 +240,48 @@ class Transformer(nn.Module):
     # backward pass may keep instead of recomputing.  Only read when
     # remat is on.
     remat_policy: Optional[str] = None
+    # lax.scan over layers instead of the unrolled python loop: ONE
+    # traced/compiled block body regardless of depth, params stacked
+    # (layers, ...).  The compile-time/HLO-size lever for the 32-48
+    # layer towers (ViT-H/g/bigG); per-layer math is identical —
+    # tests/test_scan_layers.py pins scan == unrolled given repacked
+    # params.  Param tree changes (resblock_i → layers_scan/block with
+    # a leading layer axis), so torch interop and existing checkpoints
+    # require the unrolled layout.
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.scan_layers:
+            body = _ScanBlock
+            if self.remat:
+                # prevent_cse is unnecessary (and costly) under scan
+                body = nn.remat(
+                    _ScanBlock,
+                    policy=resolve_remat_policy(self.remat_policy),
+                    prevent_cse=False,
+                )
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},   # stack params per layer
+                split_rngs={"params": True},   # distinct init per layer
+                length=self.layers,
+            )
+            x, _ = scan(
+                self.width, self.heads, mlp_hidden=self.mlp_hidden,
+                dtype=self.dtype, act=self.act, causal=self.causal,
+                ln_fp32=self.ln_fp32, name="layers_scan",
+            )(x, None)
+            return x
+
         block_cls = ResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(
                 ResidualAttentionBlock,
                 policy=resolve_remat_policy(self.remat_policy),
             )
-        # Unrolled python loop: 12 blocks trace fast and XLA pipelines
-        # them; lax.scan-over-layers only pays off at far greater depth.
+        # Unrolled python loop (default): 12-24 blocks trace fast and
+        # XLA pipelines them; scan-over-layers pays off at 32+ layers.
         for i in range(self.layers):
             x = block_cls(
                 self.width, self.heads, mlp_hidden=self.mlp_hidden,

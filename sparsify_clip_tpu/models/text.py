@@ -32,6 +32,7 @@ class TextTransformer(nn.Module):
     remat: bool = False
     remat_policy: Any = None
     ln_fp32: bool = True
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -55,7 +56,8 @@ class TextTransformer(nn.Module):
             self.width, self.layers, self.heads, mlp_hidden=self.mlp_hidden,
             dtype=self.dtype, act=self.act,
             causal=True, remat=self.remat, remat_policy=self.remat_policy,
-            ln_fp32=self.ln_fp32, name="transformer",
+            ln_fp32=self.ln_fp32, scan_layers=self.scan_layers,
+            name="transformer",
         )(x)
         x = LayerNorm(name="ln_final")(x)
 

@@ -100,7 +100,14 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     model_parallel = mesh.shape[MODEL_AXIS] > 1
 
     def assign(key_path, leaf):
-        return NamedSharding(mesh, _spec_for_path(_path_str(key_path), model_parallel))
+        spec = _spec_for_path(_path_str(key_path), model_parallel)
+        # scan-over-layers stacks kernels with a leading (layers, ...)
+        # axis; the rank-2 TP rules still name the right matmul dims —
+        # left-pad with None so (L, in, out) shards exactly like (in, out)
+        ndim = getattr(leaf, "ndim", None)
+        if len(spec) and ndim is not None and ndim > len(spec):
+            spec = P(*([None] * (ndim - len(spec)) + list(spec)))
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)
 

@@ -391,6 +391,7 @@ def create_train_setup(
         config.model, dtype=dtype, rng=init_rng, image_size=image_size,
         remat=config.remat, remat_policy=config.remat_policy,
         stem_s2d=config.stem_s2d, ln_fp32=config.ln_fp32,
+        scan_layers=config.scan_layers,
     )
 
     optimizer, schedule = build_optimizer(config, total_steps)
