@@ -204,3 +204,21 @@ def test_scan_tp2_train_step_lowers():
     with jax.sharding.set_mesh(mesh):
         lowered = jitted.lower(setup.state, batch)
     assert "scan" in lowered.as_text() or "while" in lowered.as_text()
+
+
+def test_scan_params_npz_roundtrip(tmp_path):
+    """Weights-only npz save/load works on the stacked (scan) tree —
+    the layout a big-tower run would checkpoint."""
+    from sparsify_clip_tpu.checkpoints import load_weights, save_weights
+
+    model = CLIP(cfg=SCAN_TINY, scan_layers=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 12), jnp.int32), train=False,
+    )
+    path = save_weights(variables["params"], str(tmp_path / "w.npz"))
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
+    restored = load_weights(zeros, path)
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
