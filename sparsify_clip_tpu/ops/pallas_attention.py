@@ -13,6 +13,14 @@ keeps the whole attention block in VMEM:
   VMEM, computes scores on the MXU, applies the (optional causal) mask
   + fp32 softmax on the VPU, and writes only the (TB, L, W) context
   back;
+* long sequences (e.g. ViT-L/14-336's 577 visual tokens, whose qkv
+  block exceeds the scoped-vmem stack even at batch-tile 1) move to a
+  **(batch, head-group) grid**: each program streams a 128-lane group
+  of heads' q/k/v slices (Mosaic requires lane blocks in 128-lane
+  units), so the stack holds one group's score temps instead of every
+  head's (``_use_per_head``).  The head-group backward recomputes the
+  softmax from q/k directly instead of loading saved LSE — a per-head
+  LSE output block would be (TB, L, 1), which Mosaic cannot lower;
 * the custom VJP recomputes probabilities from saved row-LSE
   (flash-attention style) and emits the (B, L, 3W) qkv gradient in the
   same fused layout.
@@ -138,18 +146,170 @@ def _bwd_kernel(
         )
 
 
+_QKV_BUDGET = 3 * 1024 * 1024
+
+
 def _pick_tile(batch: int, seq: int, w3: int, itemsize: int) -> int:
     """Largest batch tile whose qkv block stays within a VMEM budget
     (~3MB for the input block; in+out+per-head temps must fit 16M)."""
-    budget = 3 * 1024 * 1024
     for tb in (16, 8, 4, 2, 1):
-        if batch % tb == 0 and tb * seq * w3 * itemsize <= budget:
+        if batch % tb == 0 and tb * seq * w3 * itemsize <= _QKV_BUDGET:
             return tb
     return 1
 
 
+def _lane_group(width: int, head_dim: int) -> int:
+    """Lane width of one head-group block: the smallest multiple of
+    head_dim that Mosaic can tile (128 lanes), capped at the tower
+    width (interpret-mode tests use sub-128 widths)."""
+    if head_dim % 128 == 0:
+        return head_dim
+    return min(width, head_dim * max(1, 128 // head_dim))
+
+
+def _use_per_head(l: int, w3: int, itemsize: int, heads: int) -> bool:
+    """Route long sequences to the (batch, head-group) grid.
+
+    The whole-width kernel keeps the full qkv block plus every head's
+    fp32 score temps on the kernel stack; past ~3MB of qkv block even
+    at batch-tile 1 (e.g. the 577-token ViT-L/14-336 vision tower)
+    Mosaic's 16MB scoped-vmem stack overflows at compile time.  The
+    head-group grid streams a 128-lane group of heads per program
+    instead.  Mosaic only lowers lane blocks that are 128-multiples,
+    so head_dim must pack into 128 lanes exactly (64 or 128; the
+    odd-head-dim towers like g-14's 88 never exceed the budget — they
+    are 257-token towers)."""
+    width = w3 // 3
+    head_dim = width // heads
+    if l * w3 * itemsize <= _QKV_BUDGET:
+        return False
+    if head_dim % 128 == 0:
+        return True
+    return 128 % head_dim == 0 and width % 128 == 0
+
+
+def _pick_tile_per_head(batch: int, seq: int, hpb: int) -> int:
+    """Batch tile for the head-group grid: ~4 live (tb, L, L) fp32
+    score temps per unrolled head must fit comfortably under the
+    scoped-vmem stack."""
+    budget = 10 * 1024 * 1024
+    for tb in (16, 8, 4, 2, 1):
+        if batch % tb == 0 and tb * seq * seq * 16 * hpb <= budget:
+            return tb
+    return 1
+
+
+def _fwd_kernel_head_group(q_ref, k_ref, v_ref, out_ref, *,
+                           causal: bool, seq: int, head_dim: int):
+    _, l, lane = q_ref.shape
+    scale = head_dim ** -0.5
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    invalid = col >= seq
+    if causal:
+        invalid = invalid | (col > row)
+    neg = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+
+    for h in range(lane // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        s = _scores(q, k, scale) + neg
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        ctx = _pv(e / jnp.sum(e, axis=-1, keepdims=True), v)
+        out_ref[:, :, sl] = ctx.astype(out_ref.dtype)
+
+
+def _bwd_kernel_head_group(q_ref, k_ref, v_ref, dout_ref,
+                           dq_ref, dk_ref, dv_ref, *,
+                           causal: bool, seq: int, head_dim: int):
+    _, l, lane = q_ref.shape
+    scale = head_dim ** -0.5
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    invalid = col >= seq
+    if causal:
+        invalid = invalid | (col > row)
+    neg = jnp.where(invalid, NEG_INF, 0.0).astype(jnp.float32)
+
+    for h in range(lane // head_dim):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        do = dout_ref[:, :, sl].astype(jnp.float32)
+
+        # recompute the softmax (no saved LSE on this path)
+        s = _scores(q, k, scale) + neg
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        dv = jax.lax.dot_general(
+            p, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _head_group_specs(tb, l, n_groups, lane):
+    """q/k/v input specs slicing the packed (B, L, 3·width) qkv at one
+    head-group's offsets (block index units of ``lane``)."""
+    return [
+        pl.BlockSpec((tb, l, lane), lambda i, g: (i, 0, g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, l, lane), lambda i, g: (i, 0, n_groups + g),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, l, lane), lambda i, g: (i, 0, 2 * n_groups + g),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _run_fwd_per_head(qkv: jnp.ndarray, heads: int, causal: bool):
+    b, l, w3 = qkv.shape
+    width = w3 // 3
+    head_dim = width // heads
+    lane = _lane_group(width, head_dim)
+    n_groups = width // lane
+    tb = _pick_tile_per_head(b, l, lane // head_dim)
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_head_group, causal=causal, seq=l, head_dim=head_dim
+        ),
+        grid=(b // tb, n_groups),
+        in_specs=_head_group_specs(tb, l, n_groups, lane),
+        out_specs=pl.BlockSpec((tb, l, lane), lambda i, g: (i, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, width), qkv.dtype),
+    )(qkv, qkv, qkv)
+    # no LSE residual on this path: the backward recomputes the softmax
+    return out, None
+
+
 def _run_fwd(qkv: jnp.ndarray, heads: int, causal: bool):
     b, l, w3 = qkv.shape
+    if _use_per_head(l, w3, qkv.dtype.itemsize, heads):
+        return _run_fwd_per_head(qkv, heads, causal)
     width = w3 // 3
     tb = _pick_tile(b, l, w3, qkv.dtype.itemsize)
     grid = (b // tb,)
@@ -186,6 +346,25 @@ def _vjp_fwd(qkv, heads, causal):
 def _vjp_bwd(heads, causal, residuals, g):
     qkv, lse = residuals
     b, l, w3 = qkv.shape
+    if _use_per_head(l, w3, qkv.dtype.itemsize, heads):
+        width = w3 // 3
+        head_dim = width // heads
+        lane = _lane_group(width, head_dim)
+        n_groups = width // lane
+        tb = _pick_tile_per_head(b, l, lane // head_dim)
+        group_out = pl.BlockSpec((tb, l, lane), lambda i, g: (i, 0, g),
+                                 memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_kernel_head_group, causal=causal, seq=l, head_dim=head_dim
+            ),
+            grid=(b // tb, n_groups),
+            in_specs=_head_group_specs(tb, l, n_groups, lane) + [group_out],
+            out_specs=[group_out, group_out, group_out],
+            out_shape=[jax.ShapeDtypeStruct((b, l, width), qkv.dtype)] * 3,
+        )(qkv, qkv, qkv, g)
+        # reassemble the packed (B, L, 3W) qkv-gradient layout
+        return (jnp.concatenate([dq, dk, dv], axis=-1),)
     tb = _pick_tile(b, l, w3, qkv.dtype.itemsize)
     grid = (b // tb,)
     dqkv = pl.pallas_call(

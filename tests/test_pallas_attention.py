@@ -65,6 +65,61 @@ def test_grads_match_einsum(causal):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_per_head_routing_predicate():
+    """ViT-L/14-336's 577-token bf16 qkv exceeds the whole-width
+    budget and its head_dim (64) packs exactly into Mosaic's 128-lane
+    blocks -> head-group grid; the other big towers stay whole-width
+    (short seq), and an over-budget tower with an odd head_dim (88)
+    cannot take the head-group path."""
+    from sparsify_clip_tpu.ops import pallas_attention as pa
+
+    assert pa._use_per_head(577, 3 * 1024, 2, 16)         # L-14-336 vision
+    assert not pa._use_per_head(257, 3 * 1024, 2, 16)     # L-14 vision
+    assert not pa._use_per_head(257, 3 * 1280, 2, 16)     # H-14 vision
+    assert not pa._use_per_head(257, 3 * 1408, 2, 16)     # g-14 (head_dim 88)
+    assert not pa._use_per_head(77, 3 * 768, 2, 12)       # text tower
+    # hypothetical long odd-head-dim tower: over budget, but 88 lanes
+    # don't pack into 128 -> whole-width (and its VMEM story) applies
+    assert not pa._use_per_head(577, 3 * 1408, 2, 16)
+    # head-group lane widths: 2x64 -> 128; 128 -> itself; test shapes cap
+    assert pa._lane_group(1024, 64) == 128
+    assert pa._lane_group(1280, 128) == 128
+    assert pa._lane_group(32, 8) == 32
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_per_head_forward_matches_einsum(monkeypatch, causal):
+    from sparsify_clip_tpu.ops import pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_use_per_head", lambda *a: True)
+    qkv = _qkv(2, 20, 32)
+    heads = 4
+    want = np.asarray(_einsum_ref(qkv, heads, causal))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pa.mha_pallas(qkv, heads, causal))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_per_head_grads_match_einsum(monkeypatch, causal):
+    from sparsify_clip_tpu.ops import pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_use_per_head", lambda *a: True)
+    qkv = _qkv(2, 20, 32)
+    heads = 4
+
+    want = np.asarray(
+        jax.grad(lambda x: jnp.sum(jnp.square(_einsum_ref(x, heads, causal))))(qkv)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            jax.grad(
+                lambda x: jnp.sum(jnp.square(pa.mha_pallas(x, heads, causal)))
+            )(qkv)
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_attention_core_cpu_fallback_matches():
     qkv = _qkv(2, 10, 16)
     got = np.asarray(attention_core(qkv, heads=2, causal=True))
