@@ -96,7 +96,10 @@ class ExperimentConfig:
     # Measured (BASELINE.md "Round-4 measurements"): "dots_no_batch"
     # is the best true-remat policy (+3.5% over "nothing" on RN50x16);
     # "dots" fails to compile at the sizes where remat matters;
-    # no-remat beats every policy wherever it fits
+    # no-remat beats every policy wherever it fits for the <=257-token
+    # towers — but on the 577-token ViT-L-14-336 "dots_no_batch"
+    # BEATS no-remat by 4% at bs32 (the longer sequences make saved
+    # activations the HBM bottleneck; big-zoo table in BASELINE.md)
     # (models/layers.py::resolve_remat_policy).
     remat_policy: str = "nothing"
     # Space-to-depth stem for ResNet towers: run stem_conv1 as a 2×2
