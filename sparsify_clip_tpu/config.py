@@ -141,6 +141,15 @@ class ExperimentConfig:
     # device — defeating the memory savings accumulation exists for.
     # That degraded layout is an error unless explicitly allowed here.
     allow_accum_gather: bool = False
+    # AdamW first-moment (mu) storage dtype: "bfloat16" halves one of
+    # the two moment buffers (~25% of optimizer-state HBM) — a memory
+    # lever for the billion-param towers (BASELINE.md big-zoo notes).
+    # The second moment (nu) stays fp32 deliberately: its EMA update is
+    # (1-b2)=1e-3 relative, below bf16's ~4e-3 mantissa resolution, so
+    # a bf16 nu would stop accumulating; mu's (1-b1)=10% updates
+    # survive bf16 (drift bound: tests/test_train.py
+    # ::test_adam_mu_dtype_bf16).  "float32" = exact reference AdamW.
+    adam_mu_dtype: str = "float32"
     # Optional path to the real CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz).
     bpe_vocab_path: Optional[str] = None
     # Tokenizer backend: "python" (golden; full Unicode), "native" (C++
@@ -251,6 +260,11 @@ class ExperimentConfig:
             raise ValueError(
                 f"batch_size {self.batch_size} not divisible by "
                 f"grad_accum_steps {self.grad_accum_steps}"
+            )
+        if self.adam_mu_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "adam_mu_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.adam_mu_dtype!r}"
             )
 
     # Convenience ------------------------------------------------------

@@ -85,8 +85,12 @@ def build_optimizer(config: ExperimentConfig, total_steps: int):
         num_training_steps=total_steps,
         only_lunif_epochs=config.only_lunif_epochs,
     )
+    # adam_mu_dtype="bfloat16" stores the first moment in bf16 (~25% of
+    # optimizer HBM back; see config.py for why nu must stay fp32).
+    mu_dtype = jnp.bfloat16 if config.adam_mu_dtype == "bfloat16" else None
     return optax.adamw(
-        learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01
+        learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01,
+        mu_dtype=mu_dtype,
     ), schedule
 
 

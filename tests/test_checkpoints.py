@@ -31,11 +31,13 @@ MODEL_REGISTRY.setdefault(
 )
 
 
-def _setup():
-    cfg = ExperimentConfig.from_dict({
+def _setup(**kw):
+    raw = {
         "model": "ckpt-tiny", "batch_size": 8, "epochs": 1,
         "learning_rate": 1e-3, "loss_type": "anchor", "fp16": False,
-    })
+    }
+    raw.update(kw)
+    cfg = ExperimentConfig.from_dict(raw)
     mesh = create_mesh(data=1, model=1)
     return create_train_setup(cfg, steps_per_epoch=2, mesh=mesh), mesh
 
@@ -72,6 +74,30 @@ def test_full_state_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(restored.opt_state),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_state_roundtrip_bf16_mu(tmp_path):
+    """bf16 Adam first moments (adam_mu_dtype="bfloat16", the big-zoo
+    optimizer-memory knob) survive the orbax full-state round trip
+    bit-exactly and with dtype intact — exact resume holds for the
+    memory configuration too."""
+    setup, mesh = _setup(adam_mu_dtype="bfloat16")
+    state, _ = setup.train_step(setup.state, _batch(mesh))
+    path = save_full(state, str(tmp_path / "ckpt"))
+
+    fresh_setup, _ = _setup(adam_mu_dtype="bfloat16")
+    restored = restore_full(
+        path, jax.tree_util.tree_map(np.asarray, fresh_setup.state)
+    )
+    saw_bf16 = False
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        saw_bf16 = saw_bf16 or np.asarray(a).dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert saw_bf16, "expected bf16 mu leaves in the optimizer state"
 
 
 def test_weights_only_roundtrip(tmp_path):
