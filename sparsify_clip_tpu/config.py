@@ -150,6 +150,14 @@ class ExperimentConfig:
     # survive bf16 (drift bound: tests/test_train.py
     # ::test_adam_mu_dtype_bf16).  "float32" = exact reference AdamW.
     adam_mu_dtype: str = "float32"
+    # ZeRO-1: shard the AdamW moment buffers over the DATA mesh axis
+    # instead of replicating them (params/grads stay replicated, so the
+    # math is bit-identical — the moments' elementwise update just
+    # computes on 1/dp of each buffer per device and XLA all-gathers
+    # the param update over ICI).  Optimizer-state HBM scales 1/dp:
+    # the lever that fits the billion-param towers under PURE data
+    # parallelism (no mesh_model) on a pod slice.  No-op on dp=1.
+    shard_opt_state: bool = False
     # Optional path to the real CLIP BPE vocab (bpe_simple_vocab_16e6.txt.gz).
     bpe_vocab_path: Optional[str] = None
     # Tokenizer backend: "python" (golden; full Unicode), "native" (C++

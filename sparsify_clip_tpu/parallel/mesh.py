@@ -112,6 +112,45 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def zero1_opt_shardings(opt_state: Any, mesh: Mesh, base_shards: Any) -> Any:
+    """ZeRO-1 shardings for an optimizer-state tree: moments shard over
+    the DATA axis on top of whatever the TP rules assigned.
+
+    For each array leaf, pick the largest dimension that (a) the base
+    spec leaves unsharded and (b) is divisible by the data-axis size,
+    and shard it over ``data``.  Scalars (Adam's ``count``, schedule
+    steps) and indivisible leaves keep their base sharding — partial
+    coverage is fine, every sharded byte is HBM back.
+
+    Correctness story: grads and params stay replicated, the moment
+    EMAs are elementwise, so each device computes exactly the update
+    slice it owns and XLA all-gathers the (param-sized) update once
+    per step over ICI — the standard ZeRO-1 exchange (Rajbhandari et
+    al. 2020), expressed purely as sharding annotations.  Trajectory
+    equality vs replicated state is asserted in tests/test_zero1.py.
+    """
+    dp = mesh.shape[DATA_AXIS]
+    if dp == 1:
+        return base_shards
+
+    def assign(leaf, base: NamedSharding):
+        ndim = getattr(leaf, "ndim", None)
+        if not ndim:
+            return base
+        spec = list(base.spec) + [None] * (ndim - len(base.spec))
+        candidates = [
+            i for i in range(ndim)
+            if spec[i] is None and leaf.shape[i] % dp == 0
+        ]
+        if not candidates:
+            return base
+        dim = max(candidates, key=lambda i: leaf.shape[i])
+        spec[dim] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(assign, opt_state, base_shards)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch onto the mesh, sharded along the data axis."""
     sharding = batch_sharding(mesh)

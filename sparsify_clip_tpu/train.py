@@ -421,6 +421,16 @@ def create_train_setup(
     # when the model axis is 1).  The rules match the optimizer-moment
     # copies of the kernels too, so mu/nu shard with their params.
     state_shards = param_shardings(state, mesh)
+    if config.shard_opt_state:
+        # ZeRO-1: moments shard over the data axis on top of the TP
+        # rules — optimizer HBM scales 1/dp, math unchanged (mesh.py).
+        from sparsify_clip_tpu.parallel.mesh import zero1_opt_shardings
+
+        state_shards = state_shards.replace(
+            opt_state=zero1_opt_shardings(
+                state.opt_state, mesh, state_shards.opt_state
+            )
+        )
     state = jax.device_put(state, state_shards)
 
     train_step = make_train_step(
