@@ -31,7 +31,7 @@ import numpy as np
 import _bench  # noqa: F401  (side effect: repo root on sys.path)
 
 
-def bench_variant(model, batch, remat, policy, steps):
+def bench_variant(model, batch, remat, policy, steps, mu_dtype="float32"):
     from sparsify_clip_tpu.config import ExperimentConfig
     from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
     from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
@@ -44,6 +44,7 @@ def bench_variant(model, batch, remat, policy, steps):
         "only_lunif_epochs": 1, "anchor_temperature": 0.1,
         "fp16": True, "seed": 42,
         "remat": remat, "remat_policy": policy,
+        "adam_mu_dtype": mu_dtype,
     })
     mesh = create_mesh(data=1, model=1)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
@@ -81,6 +82,10 @@ def main():
         help="comma list of remat policies to sweep (with remat on)")
     ap.add_argument("--no-remat-control", action="store_true",
                     help="also try remat off (may OOM; recorded, not fatal)")
+    ap.add_argument(
+        "--mu-dtypes", default="float32",
+        help="comma list of adam_mu_dtype values to sweep per variant "
+             "(bfloat16 = the optimizer-memory knob, config.py)")
     args = ap.parse_args()
 
     import jax
@@ -91,17 +96,22 @@ def main():
     variants = [(True, p) for p in args.policies.split(",") if p]
     if args.no_remat_control:
         variants.insert(0, (False, "nothing"))
+    mu_dtypes = [d for d in args.mu_dtypes.split(",") if d]
     for batch in batches:
         for remat, policy in variants:
-            key = f"remat={remat}:{policy}" if remat else "no_remat"
-            if len(batches) > 1:
-                key = f"bs{batch}:{key}"
-            try:
-                out["variants"][key] = bench_variant(
-                    args.model, batch, remat, policy, args.steps)
-            except Exception as exc:  # XlaRuntimeError OOM etc. — record & go on
-                out["variants"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-            print(json.dumps({key: out["variants"][key]}), flush=True)
+            for mu_dtype in mu_dtypes:
+                key = f"remat={remat}:{policy}" if remat else "no_remat"
+                if len(batches) > 1:
+                    key = f"bs{batch}:{key}"
+                if len(mu_dtypes) > 1:
+                    key = f"{key}:mu={mu_dtype}"
+                try:
+                    out["variants"][key] = bench_variant(
+                        args.model, batch, remat, policy, args.steps,
+                        mu_dtype=mu_dtype)
+                except Exception as exc:  # XlaRuntimeError OOM etc. — record & go on
+                    out["variants"][key] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+                print(json.dumps({key: out["variants"][key]}), flush=True)
     print(json.dumps(out, indent=1))
 
 
