@@ -44,4 +44,8 @@ def __getattr__(name):
         from sparsify_clip_tpu.eval import evaluate_model
 
         return evaluate_model
+    if name in ("save_exported", "export_encoders", "ExportedEncoder"):
+        from sparsify_clip_tpu import export
+
+        return getattr(export, name)
     raise AttributeError(f"module 'sparsify_clip_tpu' has no attribute {name!r}")

@@ -48,10 +48,27 @@ def apply_smoke_overrides(config: ExperimentConfig) -> ExperimentConfig:
     )
 
 
+def enable_compilation_cache(config: ExperimentConfig) -> None:
+    """Point XLA's persistent compilation cache at
+    ``config.compilation_cache_dir`` (no-op when unset).  Must run
+    before the first trace; executables then persist across process
+    restarts — resume, sweeps and preemption recovery skip the
+    40-90 s remote compiles this environment pays per fresh process."""
+    if not config.compilation_cache_dir:
+        return
+    import jax
+
+    path = os.path.abspath(os.path.expanduser(config.compilation_cache_dir))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+
+
 def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str, float]:
     """Full experiment: data → train w/ per-epoch eval → final eval/save
     (reference: main(), sparsify_clip.py:1084-1121)."""
     import jax
+
+    enable_compilation_cache(config)
 
     from sparsify_clip_tpu import checkpoints
     from sparsify_clip_tpu.data import dataset_loader

@@ -412,6 +412,31 @@ def mha_pallas_sharded(qkv: jnp.ndarray, heads: int, causal: bool = False) -> jn
     return mha_pallas(qkv, heads, causal)
 
 
+# Trace-time override: when True, attention_core always takes the
+# einsum path even on TPU.  Used by :mod:`sparsify_clip_tpu.export` —
+# a serialized artifact with a symbolic batch dimension (or lowered
+# for multiple platforms) cannot contain the batch-tiled Pallas grid,
+# whose tiling is resolved against concrete shapes at trace time.
+_FORCE_XLA_ATTENTION = False
+
+
+class force_xla_attention:
+    """Context manager routing attention_core to the einsum path for
+    traces performed inside the ``with`` block (math identical to the
+    Pallas kernel to fp32 tolerance; see module docstring)."""
+
+    def __enter__(self):
+        global _FORCE_XLA_ATTENTION
+        self._prev = _FORCE_XLA_ATTENTION
+        _FORCE_XLA_ATTENTION = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_XLA_ATTENTION
+        _FORCE_XLA_ATTENTION = self._prev
+        return False
+
+
 def attention_core(
     qkv: jnp.ndarray,
     heads: int,
@@ -421,7 +446,10 @@ def attention_core(
 ) -> jnp.ndarray:
     """Backend-aware attention core used by the towers: Pallas on TPU,
     einsum elsewhere.  ``qkv`` is the packed projection output."""
-    if use_pallas and mask is None and jax.default_backend() == "tpu":
+    if (
+        use_pallas and not _FORCE_XLA_ATTENTION and mask is None
+        and jax.default_backend() == "tpu"
+    ):
         return mha_pallas_sharded(qkv, heads, causal)
     # reference einsum path (identical math)
     b, l, w3 = qkv.shape
