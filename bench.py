@@ -45,6 +45,14 @@ def main() -> None:
 
     import jax
 
+    # persistent compile cache: repeat bench runs (and anything else on
+    # this host) skip the 40-90 s remote compiles; timing is unaffected
+    # (only compilation is cached, the timed steps always execute)
+    cache_dir = os.environ.get("SPARSIFY_XLA_CACHE", "/tmp/sparsify_xla_cache")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+
     from sparsify_clip_tpu.config import ExperimentConfig
     from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from sparsify_clip_tpu.train import create_train_setup

@@ -48,4 +48,8 @@ def __getattr__(name):
         from sparsify_clip_tpu import export
 
         return getattr(export, name)
+    if name in ("BatchingEncoderServer", "ServerStats"):
+        from sparsify_clip_tpu import serving
+
+        return getattr(serving, name)
     raise AttributeError(f"module 'sparsify_clip_tpu' has no attribute {name!r}")

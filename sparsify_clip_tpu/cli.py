@@ -198,14 +198,42 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
         print(f"Model saved at epoch {epoch}")
 
     print("Training the model...")
-    state = run_training(
-        setup,
-        train_batches=lambda epoch: train_loader.epoch(epoch),
-        eval_fn=eval_fn,
-        log_fn=log_fn,
-        checkpoint_fn=checkpoint_fn,
-        start_epoch=start_epoch,
-    )
+    from sparsify_clip_tpu.utils.preemption import GracefulShutdown
+
+    shutdown = GracefulShutdown() if config.handle_preemption else None
+    if shutdown is not None:
+        with shutdown:
+            state = run_training(
+                setup,
+                train_batches=lambda epoch: train_loader.epoch(epoch),
+                eval_fn=eval_fn,
+                log_fn=log_fn,
+                checkpoint_fn=checkpoint_fn,
+                start_epoch=start_epoch,
+                stop_fn=shutdown.requested_fn,
+            )
+        if shutdown.requested:
+            # Grace windows are short: skip final eval/export, make sure
+            # the full-state save (written by run_training) is durable,
+            # and leave a resumable run behind.
+            checkpoints.wait_for_async_saves()
+            logger.log({"preempted": 1.0})
+            logger.finish()
+            print(
+                "Preempted: training state checkpointed under "
+                f"{os.path.join(config.checkpoint_dir, config.run_name)}; "
+                'restart with resume_checkpoint: "auto" to continue.'
+            )
+            return last_eval
+    else:
+        state = run_training(
+            setup,
+            train_batches=lambda epoch: train_loader.epoch(epoch),
+            eval_fn=eval_fn,
+            log_fn=log_fn,
+            checkpoint_fn=checkpoint_fn,
+            start_epoch=start_epoch,
+        )
     print("Training complete.\n")
 
     print("Final evaluation of the model...")

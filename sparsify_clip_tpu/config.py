@@ -198,6 +198,13 @@ class ExperimentConfig:
     # NaN debugging: jax_debug_nans inside jit (the reference has no
     # sanitizers; SURVEY.md §5).
     debug_nans: bool = False
+    # Graceful preemption: catch SIGTERM during training, finish the
+    # in-flight step, checkpoint the FULL train state (the
+    # resume_checkpoint: "auto" format) and exit 0 — a preempted pod
+    # job resumes step-exact instead of losing everything since the
+    # last epoch checkpoint (the reference's failure mode, SURVEY.md
+    # §5).  Only touches signal handlers on the main thread.
+    handle_preemption: bool = True
     # t-SNE/UMAP/PCA embedding plots per eval pass — ON by default like
     # the reference (always-on 3× visualize, sparsify_clip.py:599-620;
     # host-side only; reducers gated on installed libs).  False skips

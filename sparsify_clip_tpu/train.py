@@ -460,6 +460,7 @@ def run_training(
     log_fn: Optional[Callable[[Dict[str, float]], None]] = None,
     checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None,
     start_epoch: int = 0,
+    stop_fn: Optional[Callable[[], bool]] = None,
 ) -> TrainState:
     """The epoch loop (reference: sparsify_clip.py:739-986).
 
@@ -467,6 +468,12 @@ def run_training(
     ``eval_fn`` runs per-epoch evaluation (plus the pre-training eval,
     matching sparsify_clip.py:739-740); ``checkpoint_fn`` fires every
     ``save_checkpoint_every_n_epochs``.
+
+    ``stop_fn`` is polled after every step (graceful preemption — see
+    :mod:`sparsify_clip_tpu.utils.preemption`): when it turns true the
+    loop finishes the in-flight step, writes a full checkpoint via
+    ``checkpoint_fn`` (tagged with the interrupted epoch's 1-based
+    index; the orbax state inside is step-exact) and returns early.
     """
     from sparsify_clip_tpu.utils.profiling import ThroughputMeter
 
@@ -494,6 +501,7 @@ def run_training(
 
     meter = ThroughputMeter()
     t0 = time.time()
+    stopped = False
     for epoch in range(start_epoch, start_epoch + config.epochs):
         meter.start()
         for batch in device_batches(epoch):
@@ -502,6 +510,9 @@ def run_training(
                 # float() reads fence the step — honest pacing + NaNs surface here
                 log_fn({k: float(v) for k, v in metrics.items()})
             meter.step(config.batch_size)
+            if stop_fn is not None and stop_fn():
+                stopped = True
+                break
             # mid-epoch eval cadence (the reference's commented-out
             # every-N-batches eval, sparsify_clip.py:952-954)
             if (
@@ -510,6 +521,15 @@ def run_training(
                 and int(state.step) % config.eval_every_n_steps == 0
             ):
                 eval_fn(state)
+        if stopped:
+            if checkpoint_fn is not None:
+                checkpoint_fn(state, epoch + 1)
+            print(
+                f"[preemption] stopped at step {int(state.step)} "
+                f"(epoch {epoch + 1} in progress); full state checkpointed",
+                flush=True,
+            )
+            break
         if log_fn is not None:
             log_fn({
                 "pairs_per_sec": meter.pairs_per_sec,
