@@ -79,6 +79,7 @@ def main():
                     help="pad ladder; keep it short — every bucket is a compile")
     ap.add_argument("--skip-images", action="store_true",
                     help="text only (image batches are tunnel-transfer-bound here)")
+    ap.add_argument("--skip-text", action="store_true")
     ap.add_argument("--compile-cache", default="/tmp/sparsify_xla_cache",
                     help="persistent XLA compile cache dir ('' to disable)")
     args = ap.parse_args()
@@ -147,13 +148,14 @@ def main():
         print(json.dumps({kind: res}), flush=True)
 
     # --- text ----------------------------------------------------------
-    run(
-        "text",
-        lambda: np.asarray(
-            encoder._encode_tokens(variables, jnp.asarray(tokens[None]))
-        )[0],
-        lambda: server.submit_tokens(tokens).result(120),
-    )
+    if not args.skip_text:
+        run(
+            "text",
+            lambda: np.asarray(
+                encoder._encode_tokens(variables, jnp.asarray(tokens[None]))
+            )[0],
+            lambda: server.submit_tokens(tokens).result(120),
+        )
 
     # --- images --------------------------------------------------------
     if not args.skip_images:
@@ -163,6 +165,21 @@ def main():
                 encoder._encode_images(variables, jnp.asarray(image[None]))
             )[0],
             lambda: server.submit_image(image).result(300),
+        )
+
+        # raw-uint8 path: device-side normalize, 4x smaller transfers
+        image_u8 = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        print("image_u8: compiling buckets ...", flush=True)
+        server.warmup(
+            (cfg.image_size, cfg.image_size, 3), cfg.context_length,
+            include_u8=True,
+        )
+        run(
+            "image_u8",
+            lambda: np.asarray(
+                encoder._encode_images_u8(variables, jnp.asarray(image_u8[None]))
+            )[0],
+            lambda: server.submit_image_u8(image_u8).result(300),
         )
 
     server.close()

@@ -79,6 +79,7 @@ def export_encoders(
     batch: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     bake_params: bool = True,
+    uint8_input: bool = False,
 ) -> Dict[str, "jax_export.Exported"]:
     """Export both towers as jax.export programs.
 
@@ -92,24 +93,34 @@ def export_encoders(
     can share one weights file, and serving stacks that cap program
     size (or hot-swap weights) keep working.
 
+    ``uint8_input=True`` bakes CLIP pixel normalization into the image
+    program: it takes RAW (B, H, W, 3) uint8 instead of normalized
+    fp32 — serving hosts ship 4× less data and need no preprocessing
+    constants at all.
+
     Returns ``{"image": Exported, "text": Exported}``.
     """
     from sparsify_clip_tpu.ops.pallas_attention import force_xla_attention
 
     cfg = model.cfg
 
+    def _image_fwd(v, images):
+        if uint8_input:
+            from sparsify_clip_tpu.ops.image import normalize_batch
+
+            images = normalize_batch(images.astype(jnp.float32) / 255.0)
+        emb = model.apply(v, images, method=model.encode_image)
+        return l2_normalize(emb.astype(jnp.float32))
+
     if bake_params:
         def encode_image(images):
-            emb = model.apply(variables, images, method=model.encode_image)
-            return l2_normalize(emb.astype(jnp.float32))
+            return _image_fwd(variables, images)
 
         def encode_text(tokens):
             emb = model.apply(variables, tokens, method=model.encode_text)
             return l2_normalize(emb.astype(jnp.float32))
     else:
-        def encode_image(v, images):
-            emb = model.apply(v, images, method=model.encode_image)
-            return l2_normalize(emb.astype(jnp.float32))
+        encode_image = _image_fwd
 
         def encode_text(v, tokens):
             emb = model.apply(v, tokens, method=model.encode_text)
@@ -123,7 +134,8 @@ def export_encoders(
     else:
         b_img = b_txt = int(batch)
     img_spec = jax.ShapeDtypeStruct(
-        (b_img, cfg.image_size, cfg.image_size, 3), jnp.float32
+        (b_img, cfg.image_size, cfg.image_size, 3),
+        jnp.uint8 if uint8_input else jnp.float32,
     )
     txt_spec = jax.ShapeDtypeStruct((b_txt, cfg.context_length), jnp.int32)
     var_spec = jax.tree_util.tree_map(
@@ -152,6 +164,7 @@ def save_exported(
     batch: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     bake_params: bool = True,
+    uint8_input: bool = False,
 ) -> str:
     """Export + serialize both towers under ``out_dir``.
 
@@ -161,7 +174,7 @@ def save_exported(
     """
     exported = export_encoders(
         model, variables, batch=batch, platforms=platforms,
-        bake_params=bake_params,
+        bake_params=bake_params, uint8_input=uint8_input,
     )
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _IMAGE_FILE), "wb") as fh:
@@ -181,6 +194,7 @@ def save_exported(
         "embed_dim": cfg.embed_dim,
         "batch": batch,  # null = symbolic (any batch size)
         "baked_params": bake_params,
+        "uint8_input": uint8_input,
         "platforms": list(exported["image"].platforms),
         "jax_version": jax.__version__,
         "output": "L2-normalized fp32 embeddings",
@@ -213,8 +227,12 @@ class ExportedEncoder:
         self.tokenizer = tokenizer
 
     def encode_images(self, images: np.ndarray) -> jnp.ndarray:
-        """(B, H, W, 3) float32 normalized pixels → (B, D) unit fp32."""
-        x = jnp.asarray(images, jnp.float32)
+        """(B, H, W, 3) pixels → (B, D) unit fp32.  Normalized float32
+        pixels normally; RAW uint8 when the artifact was exported with
+        ``uint8_input=True`` (normalization is baked into the program —
+        check ``meta["uint8_input"]``)."""
+        dtype = jnp.uint8 if self.meta.get("uint8_input") else jnp.float32
+        x = jnp.asarray(images, dtype)
         if self._variables is not None:
             return self._image.call(self._variables, x)
         return self._image.call(x)
@@ -258,6 +276,12 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
              "programs take the variables pytree as first argument) — "
              "KB-sized artifacts, shared/hot-swappable weights",
     )
+    ap.add_argument(
+        "--uint8-input", action="store_true",
+        help="image program takes RAW uint8 pixels (CLIP normalization "
+             "baked in) — 4x smaller inputs, no preprocessing constants "
+             "on the serving host",
+    )
     args = ap.parse_args(argv)
 
     model, variables = create_model(args.model, dtype=jnp.float32)
@@ -269,6 +293,7 @@ def main(argv: Optional[Sequence[str]] = None) -> str:
         model, variables, args.out, model_name=args.model,
         batch=args.batch, platforms=platforms,
         bake_params=not args.no_bake_params,
+        uint8_input=args.uint8_input,
     )
     print(f"exported {args.model} -> {out}")
     return out

@@ -30,15 +30,41 @@ class CLIPEncoder:
             return l2_normalize(model.apply(v, images, method=model.encode_image))
 
         @jax.jit
+        def _encode_images_u8(v, images_u8):
+            # cast + CLIP-normalize (+ squash-resize if needed) FUSED
+            # into the encode program: clients ship raw uint8 (4× less
+            # host->device traffic than normalized fp32), one dispatch
+            from sparsify_clip_tpu.ops.image import normalize_batch
+
+            images = images_u8.astype(jnp.float32) / 255.0
+            size = model.cfg.image_size
+            if images.shape[1] != size or images.shape[2] != size:
+                images = jax.image.resize(
+                    images,
+                    (images.shape[0], size, size, images.shape[3]),
+                    method="linear",
+                )  # the eval path's aspect-squashing Resize
+            return l2_normalize(
+                model.apply(v, normalize_batch(images), method=model.encode_image)
+            )
+
+        @jax.jit
         def _encode_tokens(v, tokens):
             return l2_normalize(model.apply(v, tokens, method=model.encode_text))
 
         self._encode_images = _encode_images
+        self._encode_images_u8 = _encode_images_u8
         self._encode_tokens = _encode_tokens
 
     def encode_images(self, images: np.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) float32 (normalized pixels) → (B, D) unit vectors."""
         return self._encode_images(self.variables, jnp.asarray(images))
+
+    def encode_images_u8(self, images_u8: np.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) uint8 raw pixels → (B, D) unit vectors; CLIP
+        normalization (and squash-resize when H/W differ from the
+        tower's input size) runs on device inside the same program."""
+        return self._encode_images_u8(self.variables, jnp.asarray(images_u8))
 
     def encode_texts(self, texts: Sequence[str]) -> jnp.ndarray:
         tokens = jnp.asarray(self.tokenizer(list(texts)))

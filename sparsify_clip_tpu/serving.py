@@ -151,7 +151,15 @@ class BatchingEncoderServer:
         if not encoders:
             raise ValueError("need at least one encoder replica")
         self._replicas = [
-            (enc.encode_images, self._resolve_token_fn(enc)) for enc in encoders
+            {
+                "image": enc.encode_images,
+                "tokens": self._resolve_token_fn(enc),
+                # raw-uint8 path (device-side normalize, 4x smaller
+                # transfers) when the backend has one (CLIPEncoder does;
+                # serialized exports don't)
+                "image_u8": getattr(enc, "encode_images_u8", None),
+            }
+            for enc in encoders
         ]
         self.tokenizer = tokenizer if tokenizer is not None else getattr(
             encoders[0], "tokenizer", None
@@ -168,7 +176,9 @@ class BatchingEncoderServer:
 
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
-        self._queues: Dict[str, deque] = {"image": deque(), "tokens": deque()}
+        self._queues: Dict[str, deque] = {
+            "image": deque(), "tokens": deque(), "image_u8": deque(),
+        }
         self._stopped = False
         self._n_requests = 0
         self._n_batches = 0
@@ -218,6 +228,23 @@ class BatchingEncoderServer:
             raise ValueError(f"expected one (H, W, 3) image, got {image.shape}")
         return self._submit("image", image)
 
+    def submit_image_u8(self, image_u8: np.ndarray) -> Future:
+        """Queue one (H, W, 3) uint8 RAW-pixel image → Future[(D,)].
+        CLIP normalization (and resize if needed) runs on device —
+        4× less host→device traffic than the fp32 path."""
+        if self._replicas[0]["image_u8"] is None:
+            raise ValueError(
+                "this backend has no uint8 path (serialized exports take "
+                "normalized fp32 pixels; use submit_image)"
+            )
+        image_u8 = np.asarray(image_u8)
+        if image_u8.dtype != np.uint8 or image_u8.ndim != 3:
+            raise ValueError(
+                f"expected one (H, W, 3) uint8 image, got "
+                f"{image_u8.dtype} {image_u8.shape}"
+            )
+        return self._submit("image_u8", image_u8)
+
     def submit_tokens(self, tokens: np.ndarray) -> Future:
         """Queue one (T,) int32 token row → Future[(D,)]."""
         tokens = np.asarray(tokens, np.int32)
@@ -239,15 +266,23 @@ class BatchingEncoderServer:
     def encode_text(self, text: str, timeout: Optional[float] = None):
         return self.submit_text(text).result(timeout)
 
-    def warmup(self, image_shape: Sequence[int], context_length: int) -> None:
+    def warmup(
+        self,
+        image_shape: Sequence[int],
+        context_length: int,
+        include_u8: bool = False,
+    ) -> None:
         """Compile every bucket size for both modalities on every
         replica up front (one dummy batch per (modality, bucket,
         replica)); serving then never pays a compile on the request
-        path."""
-        for img_fn, tok_fn in self._replicas:
+        path.  ``include_u8`` also precompiles the raw-uint8 image
+        path (skipped by default — every bucket is a compile)."""
+        for fns in self._replicas:
             for b in self.buckets:
-                img_fn(np.zeros((b, *image_shape), np.float32))
-                tok_fn(np.zeros((b, context_length), np.int32))
+                fns["image"](np.zeros((b, *image_shape), np.float32))
+                fns["tokens"](np.zeros((b, context_length), np.int32))
+                if include_u8 and fns["image_u8"] is not None:
+                    fns["image_u8"](np.zeros((b, *image_shape), np.uint8))
 
     def stats(self) -> ServerStats:
         with self._lock:
@@ -350,9 +385,8 @@ class BatchingEncoderServer:
         if padded > n:
             pad = np.zeros((padded - n, *stacked.shape[1:]), stacked.dtype)
             stacked = np.concatenate([stacked, pad])
-        img_fn, tok_fn = self._replicas[replica]
         try:
-            fn = img_fn if kind == "image" else tok_fn
+            fn = self._replicas[replica][kind]
             out = np.asarray(fn(stacked))[:n]
         except Exception as exc:  # propagate to every waiter in the batch
             with self._lock:

@@ -138,6 +138,27 @@ def test_resnet_tower_exports_with_symbolic_batch(tmp_path):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_uint8_input_export(tmp_path):
+    """uint8_input=True: the image program takes raw uint8 pixels and
+    matches the live encoder fed host-normalized fp32 of the SAME
+    bytes; the u8 server path rejects fp32 and meta records the mode."""
+    from sparsify_clip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    model, variables = create_model("export-tiny", dtype=jnp.float32)
+    out = str(tmp_path / "u8")
+    save_exported(model, variables, out, uint8_input=True)
+    meta = json.load(open(os.path.join(out, "export_meta.json")))
+    assert meta["uint8_input"] is True
+
+    served = ExportedEncoder(out)
+    live = CLIPEncoder(model, variables, tokenizer=None)
+    raw = RNG.integers(0, 256, size=(3, 32, 32, 3)).astype(np.uint8)
+    host_norm = ((raw.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
+    got = np.asarray(served.encode_images(raw))
+    want = np.asarray(live._encode_images(variables, jnp.asarray(host_norm)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_cli_export(tmp_path):
     out = str(tmp_path / "cli")
     export_main(["--model", "export-tiny", "--out", out])

@@ -200,6 +200,44 @@ def test_exported_encoder_backend(encoder, tmp_path):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_u8_path_matches_host_normalized_fp32(encoder):
+    """submit_image_u8 (device-side CLIP normalize) == submit_image of
+    the host-normalized pixels, same underlying uint8 payload."""
+    from sparsify_clip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    raw = RNG.integers(0, 256, size=(3, 32, 32, 3)).astype(np.uint8)
+    host_norm = ((raw.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
+    with BatchingEncoderServer(encoder, max_batch=4, max_wait_ms=5.0) as server:
+        got_u8 = np.stack([server.submit_image_u8(r).result(30) for r in raw])
+        got_f32 = np.stack(
+            [server.submit_image(h).result(30) for h in host_norm]
+        )
+    np.testing.assert_allclose(got_u8, got_f32, rtol=2e-4, atol=2e-5)
+
+
+def test_u8_resizes_on_device(encoder):
+    """A non-native-size uint8 image is squash-resized on device (the
+    eval transform) before encode — shape contract only."""
+    raw = RNG.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    with BatchingEncoderServer(encoder, max_batch=2, max_wait_ms=5.0) as server:
+        emb = server.submit_image_u8(raw).result(30)
+    assert emb.shape == (TINY.embed_dim,)
+    assert np.isclose(np.linalg.norm(emb), 1.0, rtol=1e-5)
+
+
+def test_u8_rejected_for_backends_without_the_path(encoder, tmp_path):
+    from sparsify_clip_tpu.export import ExportedEncoder, save_exported
+
+    model, variables = create_model("serve-tiny", dtype=jnp.float32)
+    out = str(tmp_path / "art")
+    save_exported(model, variables, out, model_name="serve-tiny")
+    with BatchingEncoderServer(ExportedEncoder(out), max_batch=2) as server:
+        with pytest.raises(ValueError, match="no uint8 path"):
+            server.submit_image_u8(np.zeros((32, 32, 3), np.uint8))
+        with pytest.raises(ValueError, match="uint8"):
+            server.submit_image_u8(np.zeros((32, 32, 3), np.float32))
+
+
 def test_replicas_share_the_load():
     """max_batch=1 + slow replicas: both runner threads take batches."""
     import time as _time
