@@ -212,10 +212,13 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
                 start_epoch=start_epoch,
                 stop_fn=shutdown.requested_fn,
             )
-        if shutdown.requested:
-            # Grace windows are short: skip final eval/export, make sure
-            # the full-state save (written by run_training) is durable,
-            # and leave a resumable run behind.
+        if setup.stopped_early:
+            # The loop actually returned early (a signal landing after
+            # the final step completes training normally and falls
+            # through to the final eval/save below).  Grace windows are
+            # short: skip final eval/export, make sure the full-state
+            # save (written by run_training) is durable, and leave a
+            # resumable run behind.
             checkpoints.wait_for_async_saves()
             logger.log({"preempted": 1.0})
             logger.finish()

@@ -53,15 +53,6 @@ _META_FILE = "export_meta.json"
 _WEIGHTS_FILE = "weights.npz"
 
 
-def _flatten_variables(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
-    return {
-        "/".join(getattr(k, "key", getattr(k, "name", str(k))) for k in kp):
-            np.asarray(leaf)
-        for kp, leaf in flat
-    }
-
-
 def _unflatten_variables(data) -> Dict[str, Any]:
     tree: Dict[str, Any] = {}
     for key in data.files:
@@ -145,8 +136,14 @@ def export_encoders(
     txt_args = (txt_spec,) if bake_params else (var_spec, txt_spec)
 
     kwargs = {"platforms": list(platforms)} if platforms else {}
-    multi_platform = bool(platforms) and len(set(platforms)) > 1
-    if poly or multi_platform:
+    # Pallas MHA is only eligible when the artifact targets exactly the
+    # trace-time backend: any foreign platform in the list (not just a
+    # multi-platform export) must lower through the portable XLA
+    # attention path, or the program bakes in a TPU-only custom call.
+    foreign_platform = bool(platforms) and (
+        set(p.lower() for p in platforms) != {jax.default_backend()}
+    )
+    if poly or foreign_platform:
         with force_xla_attention():
             image = jax_export.export(jax.jit(encode_image), **kwargs)(*img_args)
             text = jax_export.export(jax.jit(encode_text), **kwargs)(*txt_args)
@@ -182,10 +179,11 @@ def save_exported(
     with open(os.path.join(out_dir, _TEXT_FILE), "wb") as fh:
         fh.write(bytes(exported["text"].serialize()))
     if not bake_params:
-        np.savez(
-            os.path.join(out_dir, _WEIGHTS_FILE),
-            **_flatten_variables(variables),
-        )
+        # same flat "/"-joined npz convention as every other weights
+        # file in the framework (checkpoints.save_weights)
+        from sparsify_clip_tpu.checkpoints import save_weights
+
+        save_weights(variables, os.path.join(out_dir, _WEIGHTS_FILE))
     cfg = model.cfg
     meta = {
         "model": model_name or cfg.name,

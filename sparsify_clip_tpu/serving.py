@@ -164,6 +164,23 @@ class BatchingEncoderServer:
         self.tokenizer = tokenizer if tokenizer is not None else getattr(
             encoders[0], "tokenizer", None
         )
+        # expected request shapes, when the backend can tell us: one
+        # wrong-sized payload must fail ITS request at submit time, not
+        # every co-batched request at np.stack time.  (Fixed sizes are
+        # also the right serving default — each distinct shape is a
+        # fresh XLA compile; resize on the client or use CLIPEncoder's
+        # u8 device resize behind a constant staging shape.)
+        meta = getattr(encoders[0], "meta", None)
+        cfg = getattr(getattr(encoders[0], "model", None), "cfg", None)
+        if meta is not None:
+            self.image_size = meta.get("image_size")
+            self.context_length = meta.get("context_length")
+        elif cfg is not None:
+            self.image_size = getattr(cfg, "image_size", None)
+            self.context_length = getattr(cfg, "context_length", None)
+        else:
+            self.image_size = None
+            self.context_length = None
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.buckets = sorted(set(int(b) for b in buckets)) if buckets else (
@@ -176,9 +193,11 @@ class BatchingEncoderServer:
 
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
-        self._queues: Dict[str, deque] = {
-            "image": deque(), "tokens": deque(), "image_u8": deque(),
-        }
+        # queue key = modality for the fixed-shape paths; uint8 images
+        # queue per staging (H, W) so every formed batch is stackable —
+        # the u8 path resizes on DEVICE, so arbitrary client shapes are
+        # legal, but mixed shapes can never share one np.stack
+        self._queues: Dict[Any, deque] = {"image": deque(), "tokens": deque()}
         self._stopped = False
         self._n_requests = 0
         self._n_batches = 0
@@ -226,6 +245,7 @@ class BatchingEncoderServer:
         image = np.asarray(image, np.float32)
         if image.ndim != 3:
             raise ValueError(f"expected one (H, W, 3) image, got {image.shape}")
+        self._check_image_shape(image.shape)
         return self._submit("image", image)
 
     def submit_image_u8(self, image_u8: np.ndarray) -> Future:
@@ -243,14 +263,37 @@ class BatchingEncoderServer:
                 f"expected one (H, W, 3) uint8 image, got "
                 f"{image_u8.dtype} {image_u8.shape}"
             )
-        return self._submit("image_u8", image_u8)
+        # any (H, W) is legal — the device program resizes — but each
+        # distinct staging shape batches (and compiles) separately
+        return self._submit(
+            ("image_u8", image_u8.shape[0], image_u8.shape[1]), image_u8
+        )
 
     def submit_tokens(self, tokens: np.ndarray) -> Future:
         """Queue one (T,) int32 token row → Future[(D,)]."""
         tokens = np.asarray(tokens, np.int32)
         if tokens.ndim != 1:
             raise ValueError(f"expected one (T,) token row, got {tokens.shape}")
+        if (
+            self.context_length is not None
+            and tokens.shape[0] != self.context_length
+        ):
+            raise ValueError(
+                f"expected a ({self.context_length},) token row, got "
+                f"{tokens.shape} — pad/truncate to the model's context length"
+            )
         return self._submit("tokens", tokens)
+
+    def _check_image_shape(self, shape) -> None:
+        if self.image_size is None:
+            return
+        expected = (self.image_size, self.image_size, 3)
+        if tuple(shape) != expected:
+            raise ValueError(
+                f"expected a {expected} image, got {tuple(shape)} — resize "
+                "on the client (each distinct shape would be a fresh XLA "
+                "compile, and mixed shapes cannot share a batch)"
+            )
 
     def submit_text(self, text: str) -> Future:
         """Tokenize on the calling thread, then queue the token row."""
@@ -306,13 +349,15 @@ class BatchingEncoderServer:
             )
 
     def close(self, timeout: float = 30.0) -> None:
-        """Stop accepting work, flush queued requests, join the threads."""
+        """Stop accepting work, flush queued requests, join the threads.
+
+        The dispatcher posts the runners' stop sentinels itself when it
+        finishes flushing, so a batch can never land behind a sentinel
+        (which would strand its futures unresolved forever)."""
         with self._cond:
             self._stopped = True
             self._cond.notify_all()
         self._thread.join(timeout)  # flushes request queues into _batch_q
-        for _ in self._runners:
-            self._batch_q.put(None)  # one stop sentinel per runner
         for r in self._runners:
             r.join(timeout)
 
@@ -325,25 +370,35 @@ class BatchingEncoderServer:
 
     # ------------------------------------------------------ dispatcher
 
-    def _submit(self, kind: str, payload: np.ndarray) -> Future:
-        req = _Request(kind, payload)
+    def _submit(self, key: Any, payload: np.ndarray) -> Future:
+        req = _Request(key[0] if isinstance(key, tuple) else key, payload)
         with self._cond:
             if self._stopped:
                 raise RuntimeError("server is closed")
-            self._queues[kind].append(req)
+            self._queues.setdefault(key, deque()).append(req)
             self._n_requests += 1
             self._cond.notify_all()
         return req.future
 
-    def _pick_kind_locked(self) -> Optional[str]:
+    def _pick_kind_locked(self) -> Optional[Any]:
         heads = [
-            (q[0].t_submit, kind)
-            for kind, q in self._queues.items()
+            (q[0].t_submit, i, key)
+            for i, (key, q) in enumerate(self._queues.items())
             if q
         ]
-        return min(heads)[1] if heads else None
+        return min(heads)[2] if heads else None
 
     def _dispatch_loop(self) -> None:
+        try:
+            self._dispatch_until_stopped()
+        finally:
+            # the dispatcher owns the runner sentinels: they are posted
+            # only after every queued request has been flushed into
+            # _batch_q, so runners always drain the real work first
+            for _ in self._runners:
+                self._batch_q.put(None)
+
+    def _dispatch_until_stopped(self) -> None:
         while True:
             with self._cond:
                 kind = self._pick_kind_locked()
@@ -363,6 +418,8 @@ class BatchingEncoderServer:
                 ):
                     self._cond.wait(remaining)
                 take = [queue.popleft() for _ in range(min(len(queue), self.max_batch))]
+                if not queue and isinstance(kind, tuple):
+                    del self._queues[kind]  # dynamic per-shape u8 queue
             self._batch_q.put((kind, take))
 
     def _bucket(self, n: int) -> int:
@@ -378,7 +435,16 @@ class BatchingEncoderServer:
                 return
             self._run_batch(replica, *item)
 
-    def _run_batch(self, replica: int, kind: str, reqs: List[_Request]) -> None:
+    def _run_batch(self, replica: int, key: Any, reqs: List[_Request]) -> None:
+        kind = key[0] if isinstance(key, tuple) else key
+        # claim every future first: a client-side fut.cancel() between
+        # submit and here wins (the request is dropped), and a claimed
+        # future can no longer be cancelled — so the set_result /
+        # set_exception calls below cannot raise InvalidStateError and
+        # kill the runner thread
+        reqs = [r for r in reqs if r.future.set_running_or_notify_cancel()]
+        if not reqs:
+            return
         n = len(reqs)
         padded = self._bucket(n)
         stacked = np.stack([r.payload for r in reqs])

@@ -65,6 +65,10 @@ class TrainSetup:
     steps_per_epoch: int
     total_steps: int
     lr_schedule: Callable
+    # set by run_training: True iff the loop returned early because
+    # stop_fn fired (a SIGTERM landing after the final step completes
+    # normally and must NOT skip the final eval/save)
+    stopped_early: bool = False
 
 
 def _trainables(state: TrainState, learnable_temp: bool):
@@ -421,7 +425,19 @@ def create_train_setup(
     # when the model axis is 1).  The rules match the optimizer-moment
     # copies of the kernels too, so mu/nu shard with their params.
     state_shards = param_shardings(state, mesh)
-    if config.shard_opt_state:
+    if config.fsdp:
+        # FSDP: params AND moments shard over the data axis on top of
+        # the TP rules — train-state HBM scales ~1/dp; XLA inserts the
+        # per-layer all-gathers and grad reduce-scatters (mesh.py).
+        from sparsify_clip_tpu.parallel.mesh import shard_over_data
+
+        state_shards = state_shards.replace(
+            params=shard_over_data(state.params, mesh, state_shards.params),
+            opt_state=shard_over_data(
+                state.opt_state, mesh, state_shards.opt_state
+            ),
+        )
+    elif config.shard_opt_state:
         # ZeRO-1: moments shard over the data axis on top of the TP
         # rules — optimizer HBM scales 1/dp, math unchanged (mesh.py).
         from sparsify_clip_tpu.parallel.mesh import zero1_opt_shardings
@@ -502,6 +518,7 @@ def run_training(
     meter = ThroughputMeter()
     t0 = time.time()
     stopped = False
+    setup.stopped_early = False
     for epoch in range(start_epoch, start_epoch + config.epochs):
         meter.start()
         for batch in device_batches(epoch):
@@ -522,6 +539,7 @@ def run_training(
             ):
                 eval_fn(state)
         if stopped:
+            setup.stopped_early = True
             if checkpoint_fn is not None:
                 checkpoint_fn(state, epoch + 1)
             print(

@@ -22,20 +22,24 @@ from typing import Iterable
 
 
 class GracefulShutdown:
-    """Context manager: flags (never raises on) SIGTERM/SIGINT.
+    """Context manager: flags (instead of raising on) SIGTERM/SIGINT.
 
     Inside the ``with`` block the listed signals set ``requested``
     instead of killing the process; previous handlers are restored on
-    exit.  A second signal of the same kind still only re-sets the
-    flag — the grace-window save must not be interrupted by a retry
-    from the scheduler.
+    exit.  A repeated SIGTERM still only re-sets the flag — the
+    grace-window save must not be interrupted by a retry from the
+    scheduler.  A second SIGINT (a human pressing Ctrl-C twice) raises
+    ``KeyboardInterrupt``: the first asks for a graceful checkpoint,
+    the second means "actually stop now".
 
     Signal handlers can only be installed from the main thread; when
     entered elsewhere (e.g. a worker thread running an experiment),
     this degrades to an inert flag that never fires, and says so.
     """
 
-    def __init__(self, signals: Iterable[int] = (signal.SIGTERM,)):
+    def __init__(
+        self, signals: Iterable[int] = (signal.SIGTERM, signal.SIGINT)
+    ):
         self.signals = tuple(signals)
         self._requested = False
         self._previous = {}
@@ -50,6 +54,8 @@ class GracefulShutdown:
         return self._requested
 
     def _handler(self, signum, frame):
+        if self._requested and signum == signal.SIGINT:
+            raise KeyboardInterrupt  # second Ctrl-C: stop now
         self._requested = True
         print(
             f"[preemption] caught signal {signum}: finishing the current "

@@ -165,3 +165,36 @@ def test_cli_export(tmp_path):
     served = ExportedEncoder(out)
     images, _ = _inputs(2)
     assert served.encode_images(images).shape == (2, TINY.embed_dim)
+
+
+def test_foreign_platform_forces_xla_attention(monkeypatch, tmp_path):
+    """A single NON-native platform in ``platforms`` must trace through
+    the portable XLA attention path even with a concrete batch — the
+    Pallas custom call cannot cross platforms (export.py guard)."""
+    import contextlib
+
+    import jax
+
+    import sparsify_clip_tpu.ops.pallas_attention as pa
+    from sparsify_clip_tpu.export import export_encoders
+
+    calls = []
+    real = pa.force_xla_attention
+
+    @contextlib.contextmanager
+    def spy():
+        calls.append(True)
+        with real():
+            yield
+
+    monkeypatch.setattr(pa, "force_xla_attention", spy)
+    model, variables = create_model("export-tiny", dtype=jnp.float32)
+
+    native = jax.default_backend()
+    # native-only platform with a concrete batch: Pallas stays eligible
+    export_encoders(model, variables, batch=2, platforms=[native])
+    assert calls == []
+    # one foreign platform: forced through XLA attention
+    foreign = "tpu" if native != "tpu" else "cpu"
+    export_encoders(model, variables, batch=2, platforms=[foreign])
+    assert calls == [True]

@@ -128,3 +128,53 @@ def test_sigterm_checkpoints_and_auto_resume_continues(tmp_path):
     m = re.search(r"Resumed full state from .* at step (\d+)", out2.stdout)
     assert m and int(m.group(1)) >= 3, out2.stdout
     assert "Training complete." in out2.stdout, out2.stdout
+
+
+def test_graceful_shutdown_sigint_flags_then_second_raises():
+    """First Ctrl-C asks for a graceful checkpoint; a second one means
+    'actually stop now' and raises KeyboardInterrupt."""
+    prev = signal.getsignal(signal.SIGINT)
+    with GracefulShutdown() as shutdown:
+        os.kill(os.getpid(), signal.SIGINT)  # delivered synchronously
+        assert shutdown.requested
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGINT)
+        assert shutdown.requested  # still flagged for the outer loop
+    assert signal.getsignal(signal.SIGINT) is prev
+
+
+def test_run_training_stopped_early_reflects_actual_early_stop():
+    """cli's preempted branch keys off setup.stopped_early, not the raw
+    signal flag: a run whose loop COMPLETED (e.g. SIGTERM landing during
+    the final epoch's eval) must fall through to the final eval/save."""
+    import numpy as np
+
+    from sparsify_clip_tpu.config import ExperimentConfig
+    from sparsify_clip_tpu.train import create_train_setup, run_training
+
+    cfg = ExperimentConfig.from_dict({
+        "project_name": "t", "run_name": "stopflag", "seed": 0,
+        "learning_rate": "1e-3", "batch_size": 8, "model": "tiny-test",
+        "epochs": 1, "loss_type": "anchor", "only_lunif_epochs": 0,
+        "anchor_temperature": 0.1, "anchor_temperature_learnable": False,
+        "save_checkpoint_every_n_epochs": 1000, "fp16": False,
+    })
+    setup = create_train_setup(cfg, steps_per_epoch=2, image_size=32)
+    c = setup.model.cfg
+    rng = np.random.default_rng(0)
+
+    def batches(epoch):
+        for _ in range(2):
+            tokens = rng.integers(
+                1, c.vocab_size - 2, size=(8, c.context_length)
+            ).astype(np.int32)
+            yield {
+                "images": rng.standard_normal((8, 32, 32, 3)).astype(np.float32),
+                "tokens": tokens,
+            }
+
+    run_training(setup, batches)
+    assert setup.stopped_early is False
+
+    run_training(setup, batches, stop_fn=lambda: True)
+    assert setup.stopped_early is True

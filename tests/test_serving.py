@@ -294,3 +294,46 @@ def test_warmup_compiles_every_bucket(encoder):
         server.warmup((32, 32, 3), TINY.context_length)
     assert [s[0] for s in counting.image_shapes] == [1, 2, 4]
     assert [s[0] for s in counting.token_shapes] == [1, 2, 4]
+
+
+def test_cancelled_future_is_skipped_not_fatal(encoder):
+    """A client-side cancel() must drop that request only — not crash
+    the runner thread with InvalidStateError and wedge the server."""
+    ims = _images(2)
+    with BatchingEncoderServer(encoder, max_batch=4, max_wait_ms=200.0) as server:
+        doomed = server.submit_image(ims[0])
+        assert doomed.cancel()  # still queued: cancel wins the race
+        live = server.submit_image(ims[1])
+        out = live.result(30)
+        assert out.shape == (TINY.embed_dim,)
+        # the runner thread survived; later batches still work
+        later = server.submit_image(ims[0]).result(30)
+        assert later.shape == (TINY.embed_dim,)
+    assert doomed.cancelled()
+
+
+def test_wrong_shapes_rejected_at_submit_time(encoder):
+    """One wrong-sized payload fails ITS submit, not every co-batched
+    request at np.stack time."""
+    with BatchingEncoderServer(encoder, max_batch=4, max_wait_ms=5.0) as server:
+        with pytest.raises(ValueError, match="resize"):
+            server.submit_image(np.zeros((16, 16, 3), np.float32))
+        with pytest.raises(ValueError, match="context length"):
+            server.submit_tokens(np.zeros((5,), np.int32))
+        good = server.submit_image(
+            np.zeros((TINY.image_size, TINY.image_size, 3), np.float32)
+        )
+        assert good.result(30).shape == (TINY.embed_dim,)
+
+
+def test_u8_mixed_shapes_batch_separately(encoder):
+    """Arbitrary u8 staging shapes stay legal (device resize) but never
+    share a np.stack: each distinct (H, W) forms its own batches."""
+    a = RNG.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    b = RNG.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    with BatchingEncoderServer(encoder, max_batch=4, max_wait_ms=50.0) as server:
+        futs = [server.submit_image_u8(x) for x in (a, b, a, b)]
+        outs = [f.result(30) for f in futs]
+    for out in outs:
+        assert out.shape == (TINY.embed_dim,)
+        assert np.isclose(np.linalg.norm(out), 1.0, rtol=1e-5)
