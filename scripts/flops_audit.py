@@ -35,7 +35,7 @@ import _bench  # noqa: F401  (side effect: repo root on sys.path)
 BF16_PEAK_TFLOPS = 197.0
 
 
-def audit_model(model: str, batch: int, mesh_model: int = 1):
+def audit_model(model: str, batch: int, mesh_model: int = 1, fsdp_data: int = 1):
     import jax
     import numpy as np
 
@@ -51,8 +51,10 @@ def audit_model(model: str, batch: int, mesh_model: int = 1):
         "only_lunif_epochs": 1, "anchor_temperature": 0.1,
         "fp16": True, "seed": 42,
         "mesh_model": mesh_model,
+        "mesh_data": fsdp_data,
+        "fsdp": fsdp_data > 1,
     })
-    mesh = create_mesh(data=1, model=mesh_model)
+    mesh = create_mesh(data=fsdp_data, model=mesh_model)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
 
     size = MODEL_REGISTRY[model].image_size
@@ -142,12 +144,19 @@ def main():
                          "TP-sharded over that many (virtual CPU) "
                          "devices — validates the sharding rules for "
                          "models that need TP to fit HBM (ViT-g/bigG)")
+    ap.add_argument("--fsdp-data", type=int, default=1,
+                    help="FSDP degree: lowers the train step with params "
+                         "and moments sharded over a data axis of this "
+                         "size (fsdp: true) — validates the fully-sharded "
+                         "layout for the towers that exceed one chip's "
+                         "HBM under plain DP (ViT-bigG on a v5e-8)")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")  # axon override: CLAUDE.md
-    if args.mesh_model > 1:
-        jax.config.update("jax_num_cpu_devices", args.mesh_model)
+    n_dev = args.mesh_model * args.fsdp_data
+    if n_dev > 1:
+        jax.config.update("jax_num_cpu_devices", n_dev)
 
     models = args.models.split(",")
     batches = [int(b) for b in args.batch.split(",")]
@@ -177,9 +186,14 @@ def main():
                     row[f"encode_{kind}_pct_peak"] = round(
                         100 * tf / BF16_PEAK_TFLOPS, 1)
         else:
-            row = audit_model(model, batch, mesh_model=args.mesh_model)
+            row = audit_model(
+                model, batch, mesh_model=args.mesh_model,
+                fsdp_data=args.fsdp_data,
+            )
             if args.mesh_model > 1:
                 row["mesh_model"] = args.mesh_model
+            if args.fsdp_data > 1:
+                row["fsdp_data"] = args.fsdp_data
             if i < len(step_ms):
                 ms = float(step_ms[i])
                 tf = row["step_gflops"] / ms  # GF / ms == TFLOP/s

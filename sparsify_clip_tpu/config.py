@@ -158,6 +158,18 @@ class ExperimentConfig:
     # the lever that fits the billion-param towers under PURE data
     # parallelism (no mesh_model) on a pod slice.  No-op on dp=1.
     shard_opt_state: bool = False
+    # FSDP (ZeRO-3-style fully-sharded data parallelism): shard the
+    # PARAMS (and with them the AdamW moments) over the DATA mesh axis
+    # too — each device stores 1/dp of every weight and XLA inserts the
+    # per-layer all-gather (forward/backward) and grad reduce-scatter
+    # over ICI, the scaling-book recipe expressed purely as sharding
+    # annotations.  Total train-state HBM scales ~1/dp: the lever that
+    # fits ViT-bigG-14 (28.4 GiB fp32 state) on a v5e-8 slice WITHOUT
+    # tensor parallelism.  Math is the same global-view step — grads
+    # reduce in a different (reduce-scatter) order, so trajectories
+    # match replicated DP to numerics, not bit-for-bit
+    # (tests/test_fsdp.py).  Subsumes shard_opt_state.  No-op on dp=1.
+    fsdp: bool = False
     # Persistent XLA compilation cache directory ("" = disabled).  Set
     # it and every jit compile (train step, eval encoders, ...) is
     # written to disk keyed by HLO+flags: process restarts, sweeps over

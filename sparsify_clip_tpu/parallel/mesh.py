@@ -112,22 +112,20 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def zero1_opt_shardings(opt_state: Any, mesh: Mesh, base_shards: Any) -> Any:
-    """ZeRO-1 shardings for an optimizer-state tree: moments shard over
-    the DATA axis on top of whatever the TP rules assigned.
+def shard_over_data(tree: Any, mesh: Mesh, base_shards: Any) -> Any:
+    """Shard every array leaf of ``tree`` over the DATA axis, on top of
+    whatever the TP rules already assigned in ``base_shards``.
 
-    For each array leaf, pick the largest dimension that (a) the base
-    spec leaves unsharded and (b) is divisible by the data-axis size,
-    and shard it over ``data``.  Scalars (Adam's ``count``, schedule
-    steps) and indivisible leaves keep their base sharding — partial
-    coverage is fine, every sharded byte is HBM back.
+    For each leaf, pick the largest dimension that (a) the base spec
+    leaves unsharded and (b) is divisible by the data-axis size, and
+    shard it over ``data``.  Scalars (Adam's ``count``, schedule steps,
+    the temperature) and indivisible leaves keep their base sharding —
+    partial coverage is fine, every sharded byte is HBM back.
 
-    Correctness story: grads and params stay replicated, the moment
-    EMAs are elementwise, so each device computes exactly the update
-    slice it owns and XLA all-gathers the (param-sized) update once
-    per step over ICI — the standard ZeRO-1 exchange (Rajbhandari et
-    al. 2020), expressed purely as sharding annotations.  Trajectory
-    equality vs replicated state is asserted in tests/test_zero1.py.
+    This one rule is both ZeRO-1 (applied to the optimizer moments,
+    :func:`zero1_opt_shardings`) and FSDP (applied to the params too,
+    ``fsdp: true`` in train.py): XLA turns the annotations into the
+    per-layer all-gather / grad reduce-scatter exchanges over ICI.
     """
     dp = mesh.shape[DATA_AXIS]
     if dp == 1:
@@ -148,7 +146,21 @@ def zero1_opt_shardings(opt_state: Any, mesh: Mesh, base_shards: Any) -> Any:
         spec[dim] = DATA_AXIS
         return NamedSharding(mesh, P(*spec))
 
-    return jax.tree_util.tree_map(assign, opt_state, base_shards)
+    return jax.tree_util.tree_map(assign, tree, base_shards)
+
+
+def zero1_opt_shardings(opt_state: Any, mesh: Mesh, base_shards: Any) -> Any:
+    """ZeRO-1 shardings for an optimizer-state tree: moments shard over
+    the DATA axis on top of whatever the TP rules assigned.
+
+    Correctness story: grads and params stay replicated, the moment
+    EMAs are elementwise, so each device computes exactly the update
+    slice it owns and XLA all-gathers the (param-sized) update once
+    per step over ICI — the standard ZeRO-1 exchange (Rajbhandari et
+    al. 2020), expressed purely as sharding annotations.  Trajectory
+    equality vs replicated state is asserted in tests/test_zero1.py.
+    """
+    return shard_over_data(opt_state, mesh, base_shards)
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

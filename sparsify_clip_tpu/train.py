@@ -477,6 +477,8 @@ def run_training(
     checkpoint_fn: Optional[Callable[[TrainState, int], None]] = None,
     start_epoch: int = 0,
     stop_fn: Optional[Callable[[], bool]] = None,
+    skip_steps: int = 0,
+    end_epoch: Optional[int] = None,
 ) -> TrainState:
     """The epoch loop (reference: sparsify_clip.py:739-986).
 
@@ -490,6 +492,18 @@ def run_training(
     loop finishes the in-flight step, writes a full checkpoint via
     ``checkpoint_fn`` (tagged with the interrupted epoch's 1-based
     index; the orbax state inside is step-exact) and returns early.
+
+    ``skip_steps`` consumes that many batches of the FIRST iterated
+    epoch on the host without training them: with the loaders'
+    deterministic per-(seed, epoch) streams this reproduces the exact
+    remaining data order after a mid-epoch restore — the restarted run
+    sees precisely the batches the preempted one never trained.
+    ``end_epoch`` (exclusive) overrides the default
+    ``start_epoch + config.epochs`` bound; the auto-resume path passes
+    ``end_epoch=config.epochs`` so a resumed run COMPLETES the original
+    schedule (the restored LR-schedule position assumes the original
+    ``total_steps``), while the reference's weights-only resume keeps
+    its epochs-more semantics (sparsify_clip.py:751).
     """
     from sparsify_clip_tpu.utils.profiling import ThroughputMeter
 
@@ -498,12 +512,17 @@ def run_training(
     if eval_fn is not None:
         eval_fn(state)  # pre-training eval (sparsify_clip.py:740)
 
-    def device_batches(epoch: int):
+    def device_batches(epoch: int, skip: int = 0):
         """One-step-lookahead device prefetch: the next batch's
         host→device transfer (jax.device_put is async) overlaps the
-        current step's compute."""
+        current step's compute.  ``skip`` drops leading batches on the
+        host, before any device transfer."""
         pending = None
-        for batch in train_batches(epoch):
+        it = train_batches(epoch)
+        for _ in range(skip):
+            if next(it, None) is None:
+                break
+        for batch in it:
             # device batch = array fields only (loaders also carry the
             # raw caption strings for debugging/roberta-style losses)
             nxt = shard_batch(
@@ -519,9 +538,12 @@ def run_training(
     t0 = time.time()
     stopped = False
     setup.stopped_early = False
-    for epoch in range(start_epoch, start_epoch + config.epochs):
+    last_epoch = (start_epoch + config.epochs) if end_epoch is None else end_epoch
+    for epoch in range(start_epoch, last_epoch):
         meter.start()
-        for batch in device_batches(epoch):
+        for batch in device_batches(
+            epoch, skip=skip_steps if epoch == start_epoch else 0
+        ):
             state, metrics = setup.train_step(state, batch)
             if log_fn is not None:
                 # float() reads fence the step — honest pacing + NaNs surface here
