@@ -110,6 +110,8 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
     model = setup.model
 
     start_epoch = 0
+    resume_skip = 0  # mid-epoch batches to skip on exact resume
+    resume_end = None  # epoch bound override (auto resume completes the run)
     if config.resume_requested:
         resume_path = str(config.resume_checkpoint)
         if resume_path == "auto" or os.path.isdir(resume_path):
@@ -128,7 +130,18 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
                 target, _jax.tree_util.tree_map(_np.asarray, setup.state)
             )
             start_epoch = int(setup.state.step) // len(train_loader)
-            print(f"Resumed full state from {target} at step {int(setup.state.step)}")
+            # exact data-order resume: skip the batches the preempted
+            # run already trained (the loaders' per-(seed, epoch)
+            # streams make the remainder bit-identical), and complete
+            # the ORIGINAL epoch schedule — the restored LR-schedule
+            # position assumes the original total_steps.
+            resume_skip = int(setup.state.step) % len(train_loader)
+            resume_end = config.epochs
+            print(
+                f"Resumed full state from {target} at step "
+                f"{int(setup.state.step)} (epoch {start_epoch}, "
+                f"skipping {resume_skip} already-trained batches)"
+            )
         else:
             # weights-only resume — reference semantics
             # (sparsify_clip.py:719-724): optimizer/schedule/temperature
@@ -211,6 +224,8 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
                 checkpoint_fn=checkpoint_fn,
                 start_epoch=start_epoch,
                 stop_fn=shutdown.requested_fn,
+                skip_steps=resume_skip,
+                end_epoch=resume_end,
             )
         if setup.stopped_early:
             # The loop actually returned early (a signal landing after
@@ -236,6 +251,8 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             log_fn=log_fn,
             checkpoint_fn=checkpoint_fn,
             start_epoch=start_epoch,
+            skip_steps=resume_skip,
+            end_epoch=resume_end,
         )
     print("Training complete.\n")
 
