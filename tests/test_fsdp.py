@@ -184,3 +184,54 @@ def test_checkpoint_roundtrip_with_fsdp_state(tmp_path):
         jax.tree_util.tree_leaves((restored.params, restored.opt_state)),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_composes_with_grad_accum():
+    """GradCache two-pass accumulation under FSDP params: the
+    accumulation microbatches activations, the layout shards weights —
+    orthogonal levers that must stack (big tower + big batch on a small
+    slice).  One step's loss matches the FSDP one-shot step."""
+    mesh = create_mesh(data=8, model=1)
+    setup1 = create_train_setup(_config(fsdp=True), steps_per_epoch=4, mesh=mesh)
+    setup2 = create_train_setup(
+        _config(fsdp=True, grad_accum_steps=2), steps_per_epoch=4, mesh=mesh
+    )
+    host = _batch()
+    _, m1 = setup1.train_step(setup1.state, shard_batch(host, mesh))
+    f1 = float(m1["train_loss"])  # fence: serialize multi-device dispatches
+    _, m2 = setup2.train_step(setup2.state, shard_batch(host, mesh))
+    f2 = float(m2["train_loss"])
+    assert f1 == pytest.approx(f2, rel=2e-5)
+
+
+def test_composes_with_scan_layers_by_lowering():
+    """FSDP + scan_layers (the big-tower deployment shape: stacked
+    block params sharded over data, gathered per scan iteration).
+    Lowering-only on the fake CPU mesh — collectives inside lax.scan
+    deadlock XLA's CPU rendezvous (see tests/test_scan_layers.py and
+    CLAUDE.md); on TPU this is the standard scanned-FSDP pattern."""
+    import jax.numpy as jnp  # noqa: F401
+
+    SCAN_TINY = CLIPConfig(
+        name="fsdp-scan-tiny", embed_dim=16, vision_kind="vit", image_size=32,
+        vision_width=32, vision_layers=(3,), vision_heads=2, patch_size=16,
+        vocab_size=256, context_length=12, text_width=16, text_heads=2,
+        text_layers=3,
+    )
+    MODEL_REGISTRY.setdefault("fsdp-scan-tiny", SCAN_TINY)
+    cfg = _config(model="fsdp-scan-tiny", fsdp=True, scan_layers=True)
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    # stacked block kernels carry a leading (layers, ...) axis and must
+    # still have picked up the data axis on a weight dim
+    stacked_sharded = [
+        leaf for leaf in jax.tree_util.tree_leaves(setup.state.params)
+        if leaf.ndim >= 3 and DATA_AXIS in _axes(leaf)
+    ]
+    assert stacked_sharded, "no stacked FSDP-sharded block params found"
+    jitted = getattr(setup.train_step, "_jitted", None)
+    assert jitted is not None
+    with jax.sharding.set_mesh(mesh):
+        lowered = jitted.lower(setup.state, _batch())
+    text = lowered.as_text()
+    assert "scan" in text or "while" in text
