@@ -22,7 +22,6 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
 
 # FLOPs-derived GPU-reference pairs/sec (BASELINE.md "GPU anchor").
 GPU_REFERENCE_PAIRS_PER_SEC = 2500.0
@@ -53,39 +52,20 @@ def main() -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
 
-    from sparsify_clip_tpu.config import ExperimentConfig
+    from _bench import exp6_config, synthetic_batch
     from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from sparsify_clip_tpu.train import create_train_setup
 
     n_chips = len(jax.devices())
     mesh = create_mesh(data=n_chips, model=1)
 
-    config = ExperimentConfig.from_dict({
-        "model": "ViT-B-32",
-        "batch_size": BATCH_SIZE * n_chips,
-        "epochs": 100,
-        "learning_rate": 1e-4,
-        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
-        "only_lunif_epochs": 1,
-        "anchor_temperature": 0.1,
-        "fp16": True,
-        "seed": 42,
-    })
+    # the one exp6 definition every bench shares (scripts/_bench.py)
+    config = exp6_config("ViT-B-32", BATCH_SIZE * n_chips)
     global_batch = config.batch_size
 
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
 
-    rng = np.random.default_rng(0)
-    tokens = rng.integers(1, 49000, size=(global_batch, 77)).astype(np.int32)
-    tokens[:, 0] = 49406
-    tokens[:, -1] = 49407
-    batch = shard_batch(
-        {
-            "images": rng.standard_normal((global_batch, 224, 224, 3)).astype(np.float32),
-            "tokens": tokens,
-        },
-        mesh,
-    )
+    batch = shard_batch(synthetic_batch(global_batch, 224), mesh)
 
     state = setup.state
     for _ in range(WARMUP_STEPS):

@@ -64,3 +64,36 @@ def timed(fn, *args, steps: int = 10, warmup: int = 2) -> float:
         out = fn(*args)
     fence(out[0] if isinstance(out, tuple) else out)
     return (time.perf_counter() - t0) / steps
+
+
+# The experiment-6 stack every bench measures (the CLI's flagship
+# configuration).  ONE definition, so a key/loss_type change cannot
+# leave a bench silently measuring something else than the CLI runs.
+EXP6_LOSS_TYPE = "only_lunif_n_then_anchor+lalign+lunif(centroids)"
+
+
+def exp6_config(model: str, batch: int, **overrides):
+    """Experiment-6 train config (reference
+    experiment_6-SPARSIFICATION(1E)+... semantics: bf16, lr 1e-4,
+    100 epochs, warm phase 1) with bench-specific overrides."""
+    from sparsify_clip_tpu.config import ExperimentConfig
+
+    base = {
+        "model": model, "batch_size": batch, "epochs": 100,
+        "learning_rate": 1e-4,
+        "loss_type": EXP6_LOSS_TYPE,
+        "only_lunif_epochs": 1, "anchor_temperature": 0.1,
+        "fp16": True, "seed": 42,
+    }
+    base.update(overrides)
+    return ExperimentConfig.from_dict(base)
+
+
+def synthetic_batch(batch: int, image_size: int, context: int = 77, seed: int = 0):
+    """CLIP-shaped random host batch with sot/eot framing (the shape
+    every bench feeds the train step)."""
+    rng = np.random.default_rng(seed)
+    tokens = rng.integers(1, 49000, size=(batch, context)).astype(np.int32)
+    tokens[:, 0], tokens[:, -1] = 49406, 49407
+    images = rng.standard_normal((batch, image_size, image_size, 3))
+    return {"images": images.astype(np.float32), "tokens": tokens}

@@ -19,6 +19,9 @@ from _bench import timed  # noqa: E402  (shared fenced timing)
 
 
 def main():
+    from _bench import wait_for_backend
+    wait_for_backend()  # ride out transient axon backend-init errors
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="ViT-B-32,RN50")
     ap.add_argument("--batch", type=int, default=256)

@@ -174,6 +174,9 @@ def bench_epoch(batch: int = 256, batches: int = 8):
 
 
 def main():
+    from _bench import wait_for_backend
+    wait_for_backend()  # ride out transient axon backend-init errors
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=96)
     ap.add_argument("--captions", type=int, default=2000)

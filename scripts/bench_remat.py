@@ -32,31 +32,20 @@ import _bench  # noqa: F401  (side effect: repo root on sys.path)
 
 
 def bench_variant(model, batch, remat, policy, steps, mu_dtype="float32"):
-    from sparsify_clip_tpu.config import ExperimentConfig
+    from _bench import exp6_config, synthetic_batch
     from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
     from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from sparsify_clip_tpu.train import create_train_setup
 
-    config = ExperimentConfig.from_dict({
-        "model": model, "batch_size": batch, "epochs": 100,
-        "learning_rate": 1e-4,
-        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
-        "only_lunif_epochs": 1, "anchor_temperature": 0.1,
-        "fp16": True, "seed": 42,
-        "remat": remat, "remat_policy": policy,
-        "adam_mu_dtype": mu_dtype,
-    })
+    config = exp6_config(
+        model, batch,
+        remat=remat, remat_policy=policy, adam_mu_dtype=mu_dtype,
+    )
     mesh = create_mesh(data=1, model=1)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
 
-    rng = np.random.default_rng(0)
     size = MODEL_REGISTRY[model].image_size
-    tokens = rng.integers(1, 49000, size=(batch, 77)).astype(np.int32)
-    tokens[:, 0], tokens[:, -1] = 49406, 49407
-    batch_d = shard_batch({
-        "images": rng.standard_normal((batch, size, size, 3)).astype(np.float32),
-        "tokens": tokens,
-    }, mesh)
+    batch_d = shard_batch(synthetic_batch(batch, size), mesh)
 
     state = setup.state
     for _ in range(3):
@@ -72,6 +61,9 @@ def bench_variant(model, batch, remat, policy, steps, mu_dtype="float32"):
 
 
 def main():
+    from _bench import wait_for_backend
+    wait_for_backend()  # ride out transient axon backend-init errors
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ViT-L-14")
     ap.add_argument("--batch", default="128",

@@ -65,25 +65,14 @@ def bench_stem_stage(batch: int, steps: int, stem_s2d: bool):
 def bench_full_step(batch: int, steps: int, stem_s2d: bool):
     import jax
 
-    from sparsify_clip_tpu.config import ExperimentConfig
+    from _bench import exp6_config, synthetic_batch
     from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from sparsify_clip_tpu.train import create_train_setup
 
-    config = ExperimentConfig.from_dict({
-        "model": "RN50", "batch_size": batch, "epochs": 1,
-        "learning_rate": 1e-4,
-        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
-        "only_lunif_epochs": 1, "fp16": True, "stem_s2d": stem_s2d,
-    })
+    config = exp6_config("RN50", batch, epochs=1, stem_s2d=stem_s2d)
     mesh = create_mesh(data=1, model=1)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
-    rng = np.random.default_rng(0)
-    tokens = rng.integers(1, 49000, size=(batch, 77)).astype(np.int32)
-    tokens[:, 0], tokens[:, -1] = 49406, 49407
-    batch_d = shard_batch({
-        "images": rng.standard_normal((batch, 224, 224, 3)).astype(np.float32),
-        "tokens": tokens,
-    }, mesh)
+    batch_d = shard_batch(synthetic_batch(batch, 224), mesh)
 
     state = setup.state
     # warm + steady-state: step in place, fence via the loss scalar
@@ -100,6 +89,9 @@ def bench_full_step(batch: int, steps: int, stem_s2d: bool):
 
 
 def main():
+    from _bench import wait_for_backend
+    wait_for_backend()  # ride out transient axon backend-init errors
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10)

@@ -92,7 +92,6 @@ def main():
     import sparsify_clip_tpu.train as train_mod
     import sparsify_clip_tpu.viz as viz
     from sparsify_clip_tpu import cli
-    from sparsify_clip_tpu.config import ExperimentConfig
     from sparsify_clip_tpu.data import pipeline
 
     pt = PhaseTimer()
@@ -113,24 +112,23 @@ def main():
 
     data_pkg.dataset_loader = wrapped_loader
 
+    from _bench import exp6_config
+
     run_name = "bench-system"
-    config = ExperimentConfig.from_dict({
-        "model": args.model, "batch_size": args.batch,
-        "epochs": args.epochs, "learning_rate": 1e-4,
-        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
-        "only_lunif_epochs": 1, "anchor_temperature": 0.1,
-        "fp16": True, "seed": 42,
-        "dataset": "synthetic",
-        "num_train_samples": args.batch * args.steps_per_epoch,
-        "num_test_samples": args.eval_samples,
-        "run_name": run_name, "log_dir": args.log_dir,
-        "checkpoint_dir": os.path.join(args.log_dir, "ckpt"),
-        "save_checkpoint_every_n_epochs": max(1, args.epochs - 1),
-        "async_checkpoint": True,
-        "plot_embeddings": True,
-        "log_backend": "jsonl",
-        "device_augment": args.device_augment,
-    })
+    config = exp6_config(
+        args.model, args.batch,
+        epochs=args.epochs,
+        dataset="synthetic",
+        num_train_samples=args.batch * args.steps_per_epoch,
+        num_test_samples=args.eval_samples,
+        run_name=run_name, log_dir=args.log_dir,
+        checkpoint_dir=os.path.join(args.log_dir, "ckpt"),
+        save_checkpoint_every_n_epochs=max(1, args.epochs - 1),
+        async_checkpoint=True,
+        plot_embeddings=True,
+        log_backend="jsonl",
+        device_augment=args.device_augment,
+    )
 
     # RunLogger appends; a stale JSONL from a previous invocation with
     # the same log-dir would pollute per_epoch_device_step below

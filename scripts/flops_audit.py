@@ -37,34 +37,21 @@ BF16_PEAK_TFLOPS = 197.0
 
 def audit_model(model: str, batch: int, mesh_model: int = 1, fsdp_data: int = 1):
     import jax
-    import numpy as np
 
-    from sparsify_clip_tpu.config import ExperimentConfig
+    from _bench import exp6_config, synthetic_batch
     from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
     from sparsify_clip_tpu.parallel.mesh import create_mesh
     from sparsify_clip_tpu.train import create_train_setup
 
-    config = ExperimentConfig.from_dict({
-        "model": model, "batch_size": batch, "epochs": 100,
-        "learning_rate": 1e-4,
-        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
-        "only_lunif_epochs": 1, "anchor_temperature": 0.1,
-        "fp16": True, "seed": 42,
-        "mesh_model": mesh_model,
-        "mesh_data": fsdp_data,
-        "fsdp": fsdp_data > 1,
-    })
+    config = exp6_config(
+        model, batch,
+        mesh_model=mesh_model, mesh_data=fsdp_data, fsdp=fsdp_data > 1,
+    )
     mesh = create_mesh(data=fsdp_data, model=mesh_model)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
 
     size = MODEL_REGISTRY[model].image_size
-    rng = np.random.default_rng(0)
-    tokens = rng.integers(1, 49000, size=(batch, 77)).astype(np.int32)
-    tokens[:, 0], tokens[:, -1] = 49406, 49407
-    batch_d = {
-        "images": rng.standard_normal((batch, size, size, 3)).astype(np.float32),
-        "tokens": tokens,
-    }
+    batch_d = synthetic_batch(batch, size)
 
     # the setup's step is already jitted; the _jitted hook exposes the
     # AOT surface (train.py) — lower under the mesh like the live path

@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.p
 
 
 def main():
+    from _bench import wait_for_backend
+    wait_for_backend()  # ride out transient axon backend-init errors
+
     import jax
     import jax.numpy as jnp
     from jax import lax

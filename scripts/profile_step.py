@@ -51,6 +51,9 @@ def matmul_sustained(jax, jnp, shapes, chain=8):
 
 
 def main():
+    from _bench import wait_for_backend
+    wait_for_backend()  # ride out transient axon backend-init errors
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ViT-B-32")
     ap.add_argument("--batch", type=int, default=256)
@@ -64,7 +67,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sparsify_clip_tpu.config import ExperimentConfig
     from sparsify_clip_tpu.losses import LossContext, make_loss_fn
     from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from sparsify_clip_tpu.train import create_train_setup
@@ -84,27 +86,18 @@ def main():
     out["sustained_tflops"] = matmul_sustained(jax, jnp, shapes)
 
     # --- 2. build the step
-    config = ExperimentConfig.from_dict({
-        "model": args.model, "batch_size": args.batch, "epochs": 100,
-        "learning_rate": 1e-4,
-        "loss_type": "only_lunif_n_then_anchor+lalign+lunif(centroids)",
-        "only_lunif_epochs": 1, "anchor_temperature": 0.1,
-        "fp16": True, "seed": 42, "remat": args.remat,
-        "remat_policy": args.remat_policy,
-    })
+    from _bench import exp6_config, synthetic_batch
+
+    config = exp6_config(
+        args.model, args.batch,
+        remat=args.remat, remat_policy=args.remat_policy,
+    )
     mesh = create_mesh(data=1, model=1)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
     model, state = setup.model, setup.state
 
-    rng = np.random.default_rng(0)
     size = model.cfg.image_size  # 288/384 for RN50x4/x16
-    tokens = rng.integers(1, 49000, size=(args.batch, 77)).astype(np.int32)
-    tokens[:, 0], tokens[:, -1] = 49406, 49407
-    batch = shard_batch({
-        "images": rng.standard_normal(
-            (args.batch, size, size, 3)).astype(np.float32),
-        "tokens": tokens,
-    }, mesh)
+    batch = shard_batch(synthetic_batch(args.batch, size), mesh)
 
     # --- 3. XLA's own FLOP count for the compiled full step
     try:
@@ -162,6 +155,7 @@ def main():
         loss, _ = loss_fn(img, txt, ctx)
         return loss
 
+    rng = np.random.default_rng(0)
     img = jnp.asarray(
         rng.standard_normal((args.batch, 512)).astype(np.float32))
     img = img / jnp.linalg.norm(img, axis=1, keepdims=True)

@@ -94,9 +94,11 @@ def _descent_jit():
     from jax import lax
 
     cpu = jax.devices("cpu")[0]
+    trace_count = [0]
 
     @functools.partial(jax.jit, static_argnames=("early_iter", "n_iter"))
     def descent(p, y0, lr, exaggeration, early_iter, n_iter):
+        trace_count[0] += 1  # trace-time side effect: retrace-guard probe
         n = y0.shape[0]
         off_diag = 1.0 - jnp.eye(n, dtype=y0.dtype)
 
@@ -137,7 +139,8 @@ def _descent_jit():
             )
         return np.asarray(out)
 
-    run.jitted = descent  # introspection hook for the retrace-guard test
+    run.jitted = descent  # introspection hook
+    run.trace_count = trace_count  # public retrace-guard probe (tests)
     _DESCENT = run
     return run
 

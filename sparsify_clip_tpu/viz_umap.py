@@ -45,9 +45,10 @@ def _find_ab_params(spread: float, min_dist: float) -> tuple[float, float]:
 
 def _fuzzy_graph(x: np.ndarray, n_neighbors: int) -> np.ndarray:
     """Symmetrized fuzzy simplicial set as a dense (N, N) weight matrix."""
+    from sparsify_clip_tpu.viz_tsne import _pairwise_sq_dists
+
     n = x.shape[0]
-    sq = np.sum(x * x, axis=1)
-    d = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0))
+    d = np.sqrt(_pairwise_sq_dists(x))
     np.fill_diagonal(d, np.inf)
     knn_idx = np.argsort(d, axis=1)[:, :n_neighbors]
     knn_d = np.take_along_axis(d, knn_idx, axis=1)
