@@ -120,6 +120,20 @@ class ExperimentConfig:
     # (stacked layer axis): torch interop and checkpoints written with
     # the unrolled layout do not convert.
     scan_layers: bool = False
+    # GPipe pipeline parallelism (parallel/pipeline.py): reinterpret the
+    # mesh 'model' axis as pipeline STAGES of the transformer trunks
+    # instead of tensor-parallel shards — each of the mesh_model devices
+    # holds layers/mesh_model consecutive blocks (scan layout sharded on
+    # the layer axis) and microbatches flow stage-to-stage over ICI via
+    # ppermute.  Requires scan_layers: true, a ViT vision tower, and
+    # both towers' depths divisible by mesh_model.  The lever for the
+    # 32-48 layer towers when TP's per-layer all-reduces dominate (see
+    # docs/SCALING.md); exclusive with TP by construction (one 'model'
+    # axis, one meaning).
+    pipeline: bool = False
+    # Microbatches per pipeline pass (bubble fraction (S-1)/(S-1+M));
+    # None -> one per stage.  Global batch must split dp x microbatches.
+    pipeline_microbatches: Optional[int] = None
     # Device-side augmentation: the loader ships fixed-size uint8 images
     # (4x smaller transfers) and RandomResizedCrop/flip/normalize run
     # inside the train step's jit (ops/image.py).  Host-side transforms

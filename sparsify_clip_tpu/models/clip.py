@@ -165,9 +165,22 @@ class CLIP(nn.Module):
     # torch interop and unrolled checkpoints don't convert.  ResNet
     # stages (heterogeneous blocks) always unroll.
     scan_layers: bool = False
+    # GPipe pipeline stages over the mesh 'model' axis for the
+    # transformer trunks (parallel/pipeline.py).  Requires scan_layers,
+    # a ViT vision tower, pipeline_mesh, and both towers' depths
+    # divisible by the stage count.
+    pipeline_stages: int = 1
+    pipeline_microbatches: Any = None
+    pipeline_mesh: Any = None
 
     def setup(self):
         act = quick_gelu if self.cfg.quick_gelu else gelu_exact
+        if self.pipeline_stages > 1 and self.cfg.vision_kind != "vit":
+            raise ValueError(
+                "pipeline_stages > 1 pipelines transformer block stacks; "
+                f"the {self.cfg.name} vision tower is a ResNet (stage-"
+                "heterogeneous blocks) — use TP (mesh_model) or FSDP instead"
+            )
         if self.cfg.vision_kind == "resnet":
             self.visual = ModifiedResNet(
                 layers=tuple(self.cfg.vision_layers),
@@ -195,6 +208,9 @@ class CLIP(nn.Module):
                 remat_policy=self.remat_policy,
                 ln_fp32=self.ln_fp32,
                 scan_layers=self.scan_layers,
+                pipeline_stages=self.pipeline_stages,
+                pipeline_microbatches=self.pipeline_microbatches,
+                pipeline_mesh=self.pipeline_mesh,
             )
         else:
             raise ValueError(f"Unknown vision_kind {self.cfg.vision_kind}")
@@ -212,6 +228,9 @@ class CLIP(nn.Module):
             remat_policy=self.remat_policy,
             ln_fp32=self.ln_fp32,
             scan_layers=self.scan_layers,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
+            pipeline_mesh=self.pipeline_mesh,
         )
 
     def encode_image(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -238,6 +257,9 @@ def create_model(
     stem_s2d: bool = False,
     ln_fp32: bool = True,
     scan_layers: bool = False,
+    pipeline_stages: int = 1,
+    pipeline_microbatches: Optional[int] = None,
+    pipeline_mesh: Any = None,
 ):
     """Build a CLIP model + freshly-initialized variables.
 
@@ -251,7 +273,10 @@ def create_model(
     if image_size is not None:
         cfg = dataclasses.replace(cfg, image_size=image_size)
     model = CLIP(cfg=cfg, dtype=dtype, remat=remat, remat_policy=remat_policy,
-                 stem_s2d=stem_s2d, ln_fp32=ln_fp32, scan_layers=scan_layers)
+                 stem_s2d=stem_s2d, ln_fp32=ln_fp32, scan_layers=scan_layers,
+                 pipeline_stages=pipeline_stages,
+                 pipeline_microbatches=pipeline_microbatches,
+                 pipeline_mesh=pipeline_mesh)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     dummy_images = jnp.zeros((2, cfg.image_size, cfg.image_size, 3), jnp.float32)

@@ -249,9 +249,22 @@ class Transformer(nn.Module):
     # a leading layer axis), so torch interop and existing checkpoints
     # require the unrolled layout.
     scan_layers: bool = False
+    # GPipe pipeline parallelism over the mesh 'model' axis
+    # (parallel/pipeline.py): >1 splits the scan-layout block stack into
+    # that many stages, one per 'model'-axis member.  Requires
+    # scan_layers and a mesh whose model-axis size equals the stage
+    # count.  Per-(microbatch, stage) remat replaces block remat here.
+    pipeline_stages: int = 1
+    # Microbatches per pipeline pass; None → one per stage.
+    pipeline_microbatches: Optional[int] = None
+    # The jax.sharding.Mesh the pipeline shard_maps over (required when
+    # pipeline_stages > 1; hashable, so safe as a module attribute).
+    pipeline_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.pipeline_stages > 1 and not self.is_initializing():
+            return self._pipelined(x)
         if self.scan_layers:
             body = _ScanBlock
             if self.remat:
@@ -289,3 +302,37 @@ class Transformer(nn.Module):
                 causal=self.causal, ln_fp32=self.ln_fp32, name=f"resblock_{i}",
             )(x)
         return x
+
+    def _pipelined(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Apply the block stack as a GPipe pipeline over the mesh
+        'model' axis (parallel/pipeline.py).  Init always runs the
+        nn.scan path (which creates the stacked params this branch
+        reads); per-layer math is identical, so pipeline == scan ==
+        unrolled to numerical exactness (tests/test_pipeline.py)."""
+        from sparsify_clip_tpu.parallel.pipeline import gpipe_apply
+
+        if not self.scan_layers:
+            raise ValueError(
+                "pipeline_stages > 1 requires scan_layers=True (the "
+                "stacked (layers, ...) param layout is the stage split)"
+            )
+        if self.pipeline_mesh is None:
+            raise ValueError("pipeline_stages > 1 requires pipeline_mesh")
+        stacked = self.scope.get_variable("params", "layers_scan")
+        block = ResidualAttentionBlock(
+            self.width, self.heads, mlp_hidden=self.mlp_hidden,
+            dtype=self.dtype, act=self.act, causal=self.causal,
+            ln_fp32=self.ln_fp32,
+        )
+
+        def stage_fn(local_params, xm):
+            def body(carry, layer_params):
+                return block.apply({"params": layer_params["block"]}, carry), None
+
+            y, _ = jax.lax.scan(body, xm, local_params)
+            return y
+
+        return gpipe_apply(
+            stage_fn, stacked, x, self.pipeline_mesh,
+            n_micro=self.pipeline_microbatches,
+        )

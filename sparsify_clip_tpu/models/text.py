@@ -33,6 +33,10 @@ class TextTransformer(nn.Module):
     remat_policy: Any = None
     ln_fp32: bool = True
     scan_layers: bool = False
+    # GPipe stages over the mesh 'model' axis (parallel/pipeline.py).
+    pipeline_stages: int = 1
+    pipeline_microbatches: Any = None
+    pipeline_mesh: Any = None
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -57,6 +61,9 @@ class TextTransformer(nn.Module):
             dtype=self.dtype, act=self.act,
             causal=True, remat=self.remat, remat_policy=self.remat_policy,
             ln_fp32=self.ln_fp32, scan_layers=self.scan_layers,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
+            pipeline_mesh=self.pipeline_mesh,
             name="transformer",
         )(x)
         x = LayerNorm(name="ln_final")(x)

@@ -33,6 +33,10 @@ class VisionTransformer(nn.Module):
     remat_policy: Any = None
     ln_fp32: bool = True
     scan_layers: bool = False
+    # GPipe stages over the mesh 'model' axis (parallel/pipeline.py).
+    pipeline_stages: int = 1
+    pipeline_microbatches: Any = None
+    pipeline_mesh: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -73,6 +77,9 @@ class VisionTransformer(nn.Module):
             dtype=self.dtype, act=self.act,
             remat=self.remat, remat_policy=self.remat_policy,
             ln_fp32=self.ln_fp32, scan_layers=self.scan_layers,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
+            pipeline_mesh=self.pipeline_mesh,
             name="transformer",
         )(x)
         x = LayerNorm(name="ln_post")(x[:, 0, :])

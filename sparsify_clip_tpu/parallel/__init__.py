@@ -5,3 +5,4 @@ from sparsify_clip_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     shard_batch,
 )
+from sparsify_clip_tpu.parallel.pipeline import gpipe_apply  # noqa: F401

@@ -88,7 +88,7 @@ def _path_str(key_path) -> str:
     return "/".join(getattr(k, "key", getattr(k, "name", str(k))) for k in key_path)
 
 
-def param_shardings(params: Any, mesh: Mesh) -> Any:
+def param_shardings(params: Any, mesh: Mesh, pipeline: bool = False) -> Any:
     """Pytree of NamedShardings for a model param tree.
 
     With mesh model-axis size 1 everything is replicated (pure DP).
@@ -96,11 +96,28 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     The path rules also match the optimizer-moment copies of the same
     kernels (mu/nu mirror the param tree), so this works on any pytree
     that embeds param-shaped leaves — e.g. a whole TrainState.
+
+    ``pipeline=True`` reinterprets the model axis as GPipe stages
+    (parallel/pipeline.py): instead of the TP matmul-dim rules, the
+    scan-layout block stacks (``layers_scan`` subtrees) shard their
+    leading LAYER axis over 'model' — exactly the slice shard_map hands
+    each stage, so the pipeline moves no parameter bytes.  Everything
+    outside the stacks (embeddings, heads, LN) stays replicated.
     """
     model_parallel = mesh.shape[MODEL_AXIS] > 1
+    stages = mesh.shape[MODEL_AXIS]
 
     def assign(key_path, leaf):
-        spec = _spec_for_path(_path_str(key_path), model_parallel)
+        path = _path_str(key_path)
+        if pipeline:
+            ndim = getattr(leaf, "ndim", 0)
+            if (
+                "layers_scan" in path and ndim >= 1
+                and leaf.shape[0] % stages == 0
+            ):
+                return NamedSharding(mesh, P(MODEL_AXIS))
+            return NamedSharding(mesh, P())
+        spec = _spec_for_path(path, model_parallel)
         # scan-over-layers stacks kernels with a leading (layers, ...)
         # axis; the rank-2 TP rules still name the right matmul dims —
         # left-pad with None so (L, in, out) shards exactly like (in, out)

@@ -36,6 +36,7 @@ from sparsify_clip_tpu.losses import LossContext, make_loss_fn
 from sparsify_clip_tpu.models import CLIP, create_model
 from sparsify_clip_tpu.parallel.mesh import (
     DATA_AXIS,
+    MODEL_AXIS,
     create_mesh,
     param_shardings,
     shard_batch,
@@ -395,12 +396,56 @@ def create_train_setup(
 
     dtype = jnp.bfloat16 if config.fp16 else jnp.float32
     init_rng, state_rng = jax.random.split(rng)
+    pipeline_stages = 1
+    if config.pipeline:
+        # The mesh 'model' axis becomes the stage axis (one meaning per
+        # axis: pipeline and TP are exclusive by construction).
+        pipeline_stages = mesh.shape[MODEL_AXIS]
+        if pipeline_stages < 2:
+            raise ValueError(
+                "pipeline: true needs mesh_model >= 2 (the 'model' axis "
+                "size is the stage count)"
+            )
+        if not config.scan_layers:
+            raise ValueError(
+                "pipeline: true requires scan_layers: true (the stacked "
+                "(layers, ...) param layout is the stage split)"
+            )
+        if config.fsdp:
+            raise ValueError(
+                "pipeline is exclusive with fsdp: the block stacks are "
+                "already sharded over 'model' on the layer axis; adding a "
+                "data-axis shard would force a reshard inside every "
+                "pipeline pass. Use shard_opt_state for moment sharding."
+            )
+        if config.grad_accum_steps > 1:
+            raise ValueError(
+                "pipeline is exclusive with grad_accum_steps > 1: the "
+                "GradCache passes run the encoders inside lax.scan, which "
+                "must stay collective-free. Use pipeline_microbatches "
+                "for microbatching instead — the pipeline schedule is "
+                "already activation-memory-bounded per (microbatch, stage)."
+            )
     model, variables = create_model(
         config.model, dtype=dtype, rng=init_rng, image_size=image_size,
         remat=config.remat, remat_policy=config.remat_policy,
         stem_s2d=config.stem_s2d, ln_fp32=config.ln_fp32,
         scan_layers=config.scan_layers,
+        pipeline_stages=pipeline_stages,
+        pipeline_microbatches=config.pipeline_microbatches,
+        pipeline_mesh=mesh if pipeline_stages > 1 else None,
     )
+
+    if pipeline_stages > 1:
+        for tower, depth in (
+            ("vision", model.cfg.vision_layers[0]),
+            ("text", model.cfg.text_layers),
+        ):
+            if depth % pipeline_stages:
+                raise ValueError(
+                    f"pipeline: {tower} tower depth {depth} not divisible "
+                    f"by {pipeline_stages} stages (mesh_model)"
+                )
 
     optimizer, schedule = build_optimizer(config, total_steps)
     temperature = jnp.float32(config.anchor_temperature)
@@ -422,9 +467,10 @@ def create_train_setup(
     )
 
     # Shard the whole state by the TP path rules (everything replicated
-    # when the model axis is 1).  The rules match the optimizer-moment
+    # when the model axis is 1), or by the pipeline stage rule when the
+    # model axis means stages.  The rules match the optimizer-moment
     # copies of the kernels too, so mu/nu shard with their params.
-    state_shards = param_shardings(state, mesh)
+    state_shards = param_shardings(state, mesh, pipeline=config.pipeline)
     if config.fsdp:
         # FSDP: params AND moments shard over the data axis on top of
         # the TP rules — train-state HBM scales ~1/dp; XLA inserts the
