@@ -10,9 +10,28 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # On this 1-core box a fake-device thread can miss XLA's default 30 s
+    # collective rendezvous deadline under late-suite thread contention,
+    # and XLA hard-exits the process ("Termination timeout ... exceeded.
+    # Exiting to ensure a consistent program state.") — seen at
+    # test_train::test_loss_decreases_on_fixed_batch in whole-suite runs.
+    # Raise the deadline so starvation means slowness, not SIGABRT.
+    _flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    )
+os.environ["XLA_FLAGS"] = _flags
+# Synchronous CPU dispatch: with async dispatch (the default), a fetch
+# of one device's output lets the host enqueue the NEXT multi-device
+# program while other device threads still run the previous one; late
+# in the suite that overlap deadlocks XLA's in-process collective
+# rendezvous (threads parked at different collectives, 0% CPU) and the
+# 30 s rendezvous terminate SIGABRTs the whole run — the
+# test_train::test_loss_decreases_on_fixed_batch whole-suite crash.
+# One-core CPU meshes get no real overlap benefit anyway.
+os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "0")
 
 # The axon sitecustomize (TPU tunnel) can override JAX_PLATFORMS at
 # interpreter startup; force the config back to CPU before any backend
@@ -20,8 +39,39 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The env var above is read at jax-import time, and the axon
+# sitecustomize imports jax at interpreter start — BEFORE this file
+# runs — so the flag must also be set through config.update (effective
+# any time before the CPU client is created).
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 REFERENCE_ROOT = "/root/reference"
+
+# --- whole-suite deadlock forensics (cheap; keep) -------------------
+# Appends a per-module native/python thread census to
+# $SPARSIFY_THREAD_CENSUS (no-op unless set).  Used to hunt pool-thread
+# leaks that starve XLA's 8-way in-process collective rendezvous.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _thread_census(request):
+    yield
+    path = os.environ.get("SPARSIFY_THREAD_CENSUS")
+    if not path:
+        return
+    import threading
+
+    try:
+        native = len(os.listdir("/proc/self/task"))
+        names = ",".join(sorted(t.name for t in threading.enumerate()))
+        with open(path, "a") as f:
+            f.write(
+                f"{request.module.__name__} native={native} "
+                f"python={threading.active_count()} [{names}]\n"
+            )
+    except OSError:
+        pass
 
 
 def reference_available() -> bool:
