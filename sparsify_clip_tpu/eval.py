@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sparsify_clip_tpu.metrics.unif_w2 import eval_uniformity
-from sparsify_clip_tpu.utils.numerics import fp32_matmul, l2_normalize
+from sparsify_clip_tpu.utils.numerics import fp32_matmul, l2_normalize, masked_trace
 
 
 def retrieval_ranks(
@@ -79,7 +79,9 @@ def mean_angular_value(feat: jnp.ndarray) -> jnp.ndarray:
     (sparsify_clip.py:438-457)."""
     n = feat.shape[0]
     cos = fp32_matmul(feat, feat.T)
-    off = jnp.sum(cos) - jnp.trace(cos)
+    # masked_trace, not jnp.trace: jnp.trace's diagonal gather deadlocks
+    # the CPU test mesh under SPMD (see utils.numerics.masked_diagonal)
+    off = jnp.sum(cos) - masked_trace(cos)
     return off / (n * (n - 1))
 
 

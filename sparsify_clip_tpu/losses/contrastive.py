@@ -17,13 +17,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
-from sparsify_clip_tpu.utils.numerics import fp32_matmul
+from sparsify_clip_tpu.utils.numerics import fp32_matmul, masked_diagonal
 
 
 def _symmetric_ce(logits: jnp.ndarray) -> jnp.ndarray:
     """Mean of image→text and text→image cross-entropy vs diagonal targets."""
-    n = logits.shape[0]
-    diag = jnp.diagonal(logits)
+    # mask-reduce, not jnp.diagonal — see masked_diagonal's docstring
+    diag = masked_diagonal(logits)
     # CE(logits, arange) = mean_i (logsumexp(row_i) - logit[i, i])
     loss_i2t = jnp.mean(logsumexp(logits, axis=1) - diag)
     loss_t2i = jnp.mean(logsumexp(logits, axis=0) - diag)

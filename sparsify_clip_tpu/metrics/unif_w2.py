@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from sparsify_clip_tpu.utils.numerics import fp32_matmul
+from sparsify_clip_tpu.utils.numerics import fp32_matmul, masked_trace
 
 
 def _mean_cov(x: jnp.ndarray):
@@ -39,7 +39,7 @@ def _mean_cov(x: jnp.ndarray):
 def _w2(mu: jnp.ndarray, sigma: jnp.ndarray, trace_sqrt: jnp.ndarray) -> jnp.ndarray:
     d = sigma.shape[0]
     return jnp.sqrt(
-        jnp.sum(mu * mu) + 1.0 + jnp.trace(sigma) - (2.0 / jnp.sqrt(jnp.float32(d))) * trace_sqrt
+        jnp.sum(mu * mu) + 1.0 + masked_trace(sigma) - (2.0 / jnp.sqrt(jnp.float32(d))) * trace_sqrt
     )
 
 

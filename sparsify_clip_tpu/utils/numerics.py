@@ -32,3 +32,32 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarra
     if eps:
         norm = jnp.maximum(norm, eps)
     return x / norm
+
+
+def masked_diagonal(m: jnp.ndarray) -> jnp.ndarray:
+    """Main diagonal of a square 2-D array via mask-and-reduce.
+
+    Deliberately NOT ``jnp.diagonal``: that traces a ``lax.cond`` whose
+    gather (fwd) / scatter-add transpose (bwd) the SPMD partitioner
+    turns into all-gathers inside a ``ConditionalThunk`` — *independent*
+    of the program's other collectives.  On the multi-device CPU test
+    mesh, XLA's thunk executor may start independent blocking
+    collectives in a different order on each device thread, deadlocking
+    the in-process rendezvous (crossed op_id waits → SIGABRT at the
+    terminate timeout; see CLAUDE.md).  An iota-equality mask + row
+    reduce partitions to purely local math with a broadcast-multiply
+    transpose — and avoids dynamic gathers, which are slow on TPU
+    anyway.  Values and gradients match ``jnp.diagonal`` exactly
+    (pure selection, no arithmetic change).
+    """
+    if m.ndim != 2 or m.shape[0] != m.shape[1]:
+        raise ValueError(f"masked_diagonal expects a square matrix, got {m.shape}")
+    rows = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    zero = jnp.zeros((), m.dtype)
+    return jnp.sum(jnp.where(rows == cols, m, zero), axis=1)
+
+
+def masked_trace(m: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.trace`` twin built on :func:`masked_diagonal` (same rationale)."""
+    return jnp.sum(masked_diagonal(m))

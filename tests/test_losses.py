@@ -178,3 +178,20 @@ def test_losses_differentiable():
     assert np.isfinite(np.asarray(gi)).all()
     assert np.isfinite(np.asarray(gt)).all()
     assert float(jnp.abs(gi).sum()) > 0
+
+
+def test_masked_diagonal_matches_jnp_diagonal():
+    """masked_diagonal is the deadlock-safe jnp.diagonal twin used by the
+    CE loss (utils.numerics docstring has the full story): values and
+    gradients must match jnp.diagonal exactly — it is pure selection."""
+    from sparsify_clip_tpu.utils.numerics import masked_diagonal, masked_trace
+
+    m = jnp.asarray(RNG.standard_normal((24, 24)).astype(np.float32))
+    np.testing.assert_array_equal(masked_diagonal(m), jnp.diagonal(m))
+    np.testing.assert_array_equal(
+        jax.grad(lambda x: jnp.sum(masked_diagonal(x) ** 2))(m),
+        jax.grad(lambda x: jnp.sum(jnp.diagonal(x) ** 2))(m),
+    )
+    np.testing.assert_allclose(masked_trace(m), jnp.trace(m), rtol=1e-6)
+    with pytest.raises(ValueError):
+        masked_diagonal(jnp.zeros((3, 4)))

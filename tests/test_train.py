@@ -337,6 +337,32 @@ def test_train_step_aot_lower_and_cost_analysis():
     assert float(cost["flops"]) > 0
 
 
+def test_train_step_hlo_has_no_conditional_collectives():
+    """Deadlock regression guard (the full-suite SIGABRT of round 4).
+
+    ``jnp.diagonal`` in the CE loss traced a cond+gather whose SPMD
+    partitioning produced a ``conditional`` HLO holding all-gathers,
+    *independent* of the program's other collectives; XLA's CPU thunk
+    executor may start independent blocking collectives in different
+    orders on different device threads, deadlocking the in-process
+    rendezvous (1 thread at op_id=5, 7 at op_id=88 → SIGABRT).  The
+    loss now uses utils.numerics.masked_diagonal; assert the compiled
+    dp8 step stays conditional-free so the hazard cannot re-enter.
+    """
+    cfg = _config()
+    mesh = create_mesh(data=8, model=1)
+    setup = create_train_setup(cfg, steps_per_epoch=4, mesh=mesh)
+    jitted = setup.train_step._jitted
+    with jax.sharding.set_mesh(mesh):
+        compiled = jitted.lower(setup.state, shard_batch(_batch(), mesh)).compile()
+    hlo = compiled.as_text()
+    assert " conditional(" not in hlo, (
+        "train step HLO regained a conditional — if it contains "
+        "collectives this deadlocks the 8-fake-device CPU mesh "
+        "(see utils.numerics.masked_diagonal)"
+    )
+
+
 def test_adam_mu_dtype_bf16():
     """adam_mu_dtype="bfloat16" stores Adam's first moment in bf16 and
     leaves the second moment fp32 (config.py rationale: nu's 1e-3 EMA
