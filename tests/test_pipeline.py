@@ -216,3 +216,37 @@ def test_pipeline_validation_is_loud():
         })
         create_train_setup(cfg, steps_per_epoch=4,
                            mesh=create_mesh(data=2, model=4))
+
+
+def test_eval_on_pipelined_model_matches_plain():
+    """The CLI's eval path runs the SAME (possibly pipelined) model the
+    train step uses (cli.py builds eval_model from setup.model), so the
+    pipelined encoders must produce the same retrieval metrics as the
+    plain dp twin — eval is a layout-independent read of the weights."""
+    from sparsify_clip_tpu.eval import evaluate_model, make_eval_model
+
+    setup_dp, mesh_dp = _make(8, 1, pipeline=False)
+    setup_pp, mesh_pp = _make(2, 4, pipeline=True)
+
+    rng = np.random.default_rng(11)
+    batches = []
+    for _ in range(2):
+        tokens = rng.integers(1, 250, size=(16, 12)).astype(np.int32)
+        tokens[:, 0], tokens[:, -1] = 254, 255
+        batches.append({
+            "images": rng.standard_normal((16, 32, 32, 3)).astype(np.float32),
+            "tokens": tokens,
+        })
+
+    def run_eval(setup, mesh):
+        eval_model = make_eval_model(setup.model, eval_fp32=True)
+        return evaluate_model(
+            eval_model, {"params": setup.state.params}, batches, mesh=mesh
+        )
+
+    plain = run_eval(setup_dp, mesh_dp)
+    # np-free fence between the two multi-device programs happens inside
+    # evaluate_model's host-side metric reads
+    pipelined = run_eval(setup_pp, mesh_pp)
+    for key in plain:
+        assert pipelined[key] == pytest.approx(plain[key], abs=2e-3), key
