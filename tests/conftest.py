@@ -45,6 +45,19 @@ jax.config.update("jax_platforms", "cpu")
 # any time before the CPU client is created).
 jax.config.update("jax_cpu_enable_async_dispatch", False)
 
+# Persistent XLA compile cache for the test mesh (gitignored): the
+# suite is compile-bound on this 1-core box (~20-26 min fast profile,
+# most of it XLA CPU compiles of near-identical train steps), and cache
+# keys hash the post-jax-level HLO, so code changes miss cleanly.
+# First run pays full price; repeat runs skip every >2 s compile.
+# Disable with SPARSIFY_TEST_NO_CACHE=1 (e.g. to time a cold run).
+if not os.environ.get("SPARSIFY_TEST_NO_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                              ".pytest_xla_cache")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 REFERENCE_ROOT = "/root/reference"
 
 # --- whole-suite deadlock forensics (cheap; keep) -------------------
