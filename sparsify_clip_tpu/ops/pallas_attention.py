@@ -397,6 +397,11 @@ def mha_pallas_sharded(qkv: jnp.ndarray, heads: int, causal: bool = False) -> jn
         and not am.empty
         and "data" in am.axis_names
         and dict(am.shape).get("data", 1) > 1
+        # Already inside a shard_map (axis types Manual — e.g. the GPipe
+        # trunk, parallel/pipeline.py): the batch is device-local here,
+        # and nesting another shard_map over 'data' would re-split it.
+        and am.axis_types[am.axis_names.index("data")]
+        != jax.sharding.AxisType.Manual
     ):
         from jax.sharding import PartitionSpec as P
 

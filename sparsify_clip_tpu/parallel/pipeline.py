@@ -55,6 +55,10 @@ def stacked_layers(tree: Any) -> int:
 def validate_pipeline(
     n_layers: int, stages: int, local_batch: int, n_micro: int
 ) -> None:
+    if n_micro < 1:
+        raise ValueError(
+            f"pipeline: pipeline_microbatches must be >= 1, got {n_micro}"
+        )
     if n_layers % stages:
         raise ValueError(
             f"pipeline: {n_layers} layers not divisible by {stages} stages"

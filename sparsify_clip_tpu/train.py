@@ -426,6 +426,34 @@ def create_train_setup(
                 "for microbatching instead — the pipeline schedule is "
                 "already activation-memory-bounded per (microbatch, stage)."
             )
+        if config.remat:
+            raise ValueError(
+                "pipeline is exclusive with remat: the GPipe schedule "
+                "already checkpoints per (microbatch, stage) — a "
+                "remat_policy would be silently ignored by the stage "
+                "loop. Drop remat: true (pipeline's memory profile is "
+                "one microbatch activation per stage)."
+            )
+        # Validate the stage split on the registry config BEFORE paying
+        # for create_model (init is ~100 s remote-compiled on TPU).
+        from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
+
+        reg_cfg = MODEL_REGISTRY[config.model]
+        if reg_cfg.vision_kind != "vit":
+            raise ValueError(
+                "pipeline_stages > 1 pipelines transformer block stacks; "
+                f"the {reg_cfg.name} vision tower is a ResNet (stage-"
+                "heterogeneous blocks) — use TP (mesh_model) or FSDP instead"
+            )
+        for tower, depth in (
+            ("vision", reg_cfg.vision_layers[0]),
+            ("text", reg_cfg.text_layers),
+        ):
+            if depth % pipeline_stages:
+                raise ValueError(
+                    f"pipeline: {tower} tower depth {depth} not divisible "
+                    f"by {pipeline_stages} stages (mesh_model)"
+                )
     model, variables = create_model(
         config.model, dtype=dtype, rng=init_rng, image_size=image_size,
         remat=config.remat, remat_policy=config.remat_policy,
@@ -435,17 +463,6 @@ def create_train_setup(
         pipeline_microbatches=config.pipeline_microbatches,
         pipeline_mesh=mesh if pipeline_stages > 1 else None,
     )
-
-    if pipeline_stages > 1:
-        for tower, depth in (
-            ("vision", model.cfg.vision_layers[0]),
-            ("text", model.cfg.text_layers),
-        ):
-            if depth % pipeline_stages:
-                raise ValueError(
-                    f"pipeline: {tower} tower depth {depth} not divisible "
-                    f"by {pipeline_stages} stages (mesh_model)"
-                )
 
     optimizer, schedule = build_optimizer(config, total_steps)
     temperature = jnp.float32(config.anchor_temperature)

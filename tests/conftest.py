@@ -41,9 +41,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # The env var above is read at jax-import time, and the axon
 # sitecustomize imports jax at interpreter start — BEFORE this file
-# runs — so the flag must also be set through config.update (effective
-# any time before the CPU client is created).
-jax.config.update("jax_cpu_enable_async_dispatch", False)
+# runs — so the setting must also land through config.update (effective
+# any time before the CPU client is created).  Honor an explicit env
+# override (JAX_CPU_ENABLE_ASYNC_DISPATCH=1 reproduces the async-
+# dispatch overlap for deadlock forensics).
+jax.config.update(
+    "jax_cpu_enable_async_dispatch",
+    os.environ["JAX_CPU_ENABLE_ASYNC_DISPATCH"] == "1",
+)
 
 # Persistent XLA compile cache for the test mesh (gitignored): the
 # suite is compile-bound on this 1-core box (~20-26 min fast profile,

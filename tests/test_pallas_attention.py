@@ -183,3 +183,35 @@ def test_sharded_kernel_grads_on_mesh():
                 )(x)
             )
     np_.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_kernel_inside_enclosing_shard_map():
+    """Regression guard for the pipeline-on-TPU breakage: called INSIDE
+    an enclosing shard_map (the GPipe trunk, parallel/pipeline.py), the
+    abstract mesh's axes are Manual and the batch is already
+    device-local — mha_pallas_sharded must NOT nest a second shard_map
+    over 'data' (which re-splits the local microbatch and fails to
+    lower).  Review finding, round 4."""
+    import numpy as np_
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparsify_clip_tpu.ops.pallas_attention import mha_pallas_sharded
+    from sparsify_clip_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=4, model=2)
+    qkv = _qkv(16, 20, 32)
+    want = np_.asarray(_einsum_ref(qkv, 4, True))
+
+    def worker(x_local):
+        # inside shard_map: axis types are Manual, batch is B/dp
+        return mha_pallas_sharded(x_local, 4, True)
+
+    with jax.sharding.set_mesh(mesh):
+        x = jax.device_put(qkv, NamedSharding(mesh, P("data")))
+        with pltpu.force_tpu_interpret_mode():
+            fn = jax.shard_map(
+                worker, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                check_vma=False,
+            )
+            got = np_.asarray(jax.jit(fn)(x))
+    np_.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)

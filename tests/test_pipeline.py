@@ -217,6 +217,25 @@ def test_pipeline_validation_is_loud():
         create_train_setup(cfg, steps_per_epoch=4,
                            mesh=create_mesh(data=2, model=4))
 
+    # remat would be silently ignored by the stage loop — reject it
+    # (review finding, round 4: gpipe already checkpoints per
+    # (microbatch, stage), so a remat_policy would do nothing)
+    with pytest.raises(ValueError, match="remat"):
+        cfg = ExperimentConfig.from_dict({
+            "model": "pp-tiny", "batch_size": 16, "epochs": 1,
+            "learning_rate": 1e-3, "mesh_data": 2, "mesh_model": 4,
+            "pipeline": True, "scan_layers": True, "remat": True,
+        })
+        create_train_setup(cfg, steps_per_epoch=4,
+                           mesh=create_mesh(data=2, model=4))
+
+    # microbatches: 0 must be a descriptive ValueError, not a
+    # ZeroDivisionError out of the modulo (review finding, round 4)
+    from sparsify_clip_tpu.parallel.pipeline import validate_pipeline
+
+    with pytest.raises(ValueError, match="microbatches"):
+        validate_pipeline(n_layers=4, stages=4, local_batch=8, n_micro=0)
+
 
 def test_eval_on_pipelined_model_matches_plain():
     """The CLI's eval path runs the SAME (possibly pipelined) model the
