@@ -423,6 +423,27 @@ def mha_pallas_sharded(qkv: jnp.ndarray, heads: int, causal: bool = False) -> jn
 # for multiple platforms) cannot contain the batch-tiled Pallas grid,
 # whose tiling is resolved against concrete shapes at trace time.
 _FORCE_XLA_ATTENTION = False
+_FORCE_PALLAS_ATTENTION = False
+
+
+class force_pallas_attention:
+    """Trace-time override: attention_core takes the TPU (Pallas)
+    branch regardless of ``jax.default_backend()``.  For
+    cross-platform lowering tests that export TPU artifacts from the
+    CPU host (tests/test_pipeline.py::test_pipelined_trunk_lowers_for_tpu)
+    — the composition bugs that only bite on the TPU backend (nested
+    shard_map, vma checks) must be catchable without a chip."""
+
+    def __enter__(self):
+        global _FORCE_PALLAS_ATTENTION
+        self._prev = _FORCE_PALLAS_ATTENTION
+        _FORCE_PALLAS_ATTENTION = True
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_PALLAS_ATTENTION
+        _FORCE_PALLAS_ATTENTION = self._prev
+        return False
 
 
 class force_xla_attention:
@@ -453,7 +474,7 @@ def attention_core(
     einsum elsewhere.  ``qkv`` is the packed projection output."""
     if (
         use_pallas and not _FORCE_XLA_ATTENTION and mask is None
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or _FORCE_PALLAS_ATTENTION)
     ):
         return mha_pallas_sharded(qkv, heads, causal)
     # reference einsum path (identical math)

@@ -135,4 +135,8 @@ def gpipe_apply(
         mesh=mesh,
         in_specs=(P(MODEL_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
+        # pallas_call out_shapes carry no vma annotations, so the
+        # varying-axes checker rejects the fused-attention kernel inside
+        # the stage body (same reason as mha_pallas_sharded's wrapper)
+        check_vma=False,
     )(stacked_params, x)

@@ -269,3 +269,42 @@ def test_eval_on_pipelined_model_matches_plain():
     pipelined = run_eval(setup_pp, mesh_pp)
     for key in plain:
         assert pipelined[key] == pytest.approx(plain[key], abs=2e-3), key
+
+
+def test_pipelined_trunk_lowers_for_tpu_with_pallas_attention():
+    """Cross-platform lowering guard: export the pipelined trunk
+    (fwd+grad) for platform 'tpu' FROM the CPU host, with the real
+    Pallas MHA forced on (force_pallas_attention).  The two round-4
+    TPU-only breakages — mha_pallas_sharded nesting a second shard_map
+    inside the gpipe worker, and the vma check rejecting pallas_call
+    outputs — both die at exactly this lowering step, which the
+    CPU-execution tests can never reach (attention_core picks einsum
+    off-TPU).  Mosaic serializes without a chip."""
+    from jax import export as jax_export
+    from jax.sharding import AbstractMesh, NamedSharding, PartitionSpec as P
+
+    from sparsify_clip_tpu.ops.pallas_attention import force_pallas_attention
+
+    amesh = AbstractMesh((2, 4), ("data", "model"))
+    plain = Transformer(width=128, layers=4, heads=2, scan_layers=True)
+    var_shapes = jax.eval_shape(
+        lambda: plain.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, 8, 128), jnp.float32)))
+    pp = Transformer(width=128, layers=4, heads=2, scan_layers=True,
+                     pipeline_stages=4, pipeline_mesh=amesh)
+
+    def step(variables, x):
+        return jax.grad(lambda v: jnp.sum(jnp.square(pp.apply(v, x))))(variables)
+
+    x_in = jax.ShapeDtypeStruct((16, 8, 128), jnp.float32,
+                                sharding=NamedSharding(amesh, P("data")))
+    vars_in = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                       sharding=NamedSharding(amesh, P())),
+        var_shapes)
+    with force_pallas_attention():
+        exp = jax_export.export(jax.jit(step), platforms=["tpu"])(vars_in, x_in)
+    assert exp.platforms == ("tpu",)
+    # the artifact must actually contain the mosaic kernel, or the
+    # force flag silently stopped routing to the Pallas branch
+    assert "tpu_custom_call" in exp.mlir_module()
