@@ -1,0 +1,103 @@
+"""Cross-platform (TPU) lowering guards, run from the CPU host.
+
+The CPU-execution suite cannot reach the TPU-only code paths: off-TPU,
+``attention_core`` picks the einsum twin and ``ops.fused`` picks the
+XLA loss twins, so composition bugs that only bite at TPU lowering
+(mosaic's no-automatic-partitioning rule, shard_map vma checks, nested
+shard_map wrappers) stay invisible until a multi-chip TPU run — which
+this environment cannot execute (one chip).  ``jax.export`` with
+``platforms=['tpu']`` over an AbstractMesh closes the hole: mosaic
+serializes its kernels without a chip, and every one of the round-4
+TPU-only blockers died exactly at this step.
+
+Companion guards: the pipelined-trunk export in tests/test_pipeline.py
+and the enclosing-shard_map routing test in tests/test_pallas_attention.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+from jax.sharding import AbstractMesh, NamedSharding, PartitionSpec as P
+
+from sparsify_clip_tpu.config import ExperimentConfig
+from sparsify_clip_tpu.models.clip import CLIPConfig, MODEL_REGISTRY
+from sparsify_clip_tpu.ops.fused import force_pallas_losses
+from sparsify_clip_tpu.ops.pallas_attention import force_pallas_attention
+from sparsify_clip_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    param_shardings,
+)
+from sparsify_clip_tpu.train import build_optimizer, create_train_setup, make_train_step
+
+MODEL_REGISTRY.setdefault(
+    "lw-tiny",
+    CLIPConfig(
+        # width 128 so the Pallas kernels hit their compiled (non-padded)
+        # tile shapes in the serialized mosaic IR
+        name="lw-tiny", embed_dim=16, vision_kind="vit", image_size=32,
+        vision_width=128, vision_layers=(2,), vision_heads=2, patch_size=16,
+        vocab_size=256, context_length=12, text_width=128, text_heads=2,
+        text_layers=2,
+    ),
+)
+
+
+def test_full_train_step_exports_for_tpu_dp4xtp2():
+    """The COMPLETE exp6 train step — Pallas attention, Pallas
+    InfoNCE + lunif kernels, warm-phase cond, AdamW — must lower for
+    platform 'tpu' on a dp4×tp2 AbstractMesh.  This is the multi-chip
+    TPU twin of the driver's CPU dryrun: it caught mosaic's refusal to
+    auto-partition the loss kernels on ANY multi-device mesh (fixed by
+    ops.fused._global_batch_kernel's full-mesh shard_map)."""
+    cfg = ExperimentConfig.from_dict(dict(
+        model="lw-tiny", batch_size=16, epochs=2, learning_rate=1e-3,
+        loss_type="only_lunif_n_then_anchor+lalign+lunif(centroids)",
+        only_lunif_epochs=1, fp16=True, seed=0, use_pallas=True,
+        mesh_data=4, mesh_model=2,
+    ))
+
+    # authoritative state SHAPES from a cheap concrete 1-device setup
+    setup = create_train_setup(
+        cfg, steps_per_epoch=4, mesh=create_mesh(data=1, model=1)
+    )
+    state_shapes = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), setup.state
+    )
+
+    amesh = AbstractMesh((4, 2), ("data", "model"))
+    state_shards = param_shardings(state_shapes, amesh)
+    batch_shards = NamedSharding(amesh, P(DATA_AXIS))
+    optimizer, schedule = build_optimizer(cfg, total_steps=8)
+    step = make_train_step(
+        setup.model, cfg, optimizer, steps_per_epoch=4, total_steps=8,
+        lr_schedule=schedule, state_shards=state_shards,
+        batch_shards=batch_shards,
+    )
+
+    abstract_state = jax.tree_util.tree_map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        state_shapes, state_shards,
+    )
+    abstract_batch = {
+        "images": jax.ShapeDtypeStruct(
+            (16, 32, 32, 3), jnp.float32, sharding=batch_shards
+        ),
+        "tokens": jax.ShapeDtypeStruct(
+            (16, 12), jnp.int32, sharding=batch_shards
+        ),
+    }
+    with force_pallas_attention(), force_pallas_losses():
+        with jax.sharding.use_abstract_mesh(amesh):
+            exp = jax_export.export(step._jitted, platforms=["tpu"])(
+                abstract_state, abstract_batch
+            )
+    assert exp.platforms == ("tpu",)
+    module = exp.mlir_module()
+    # the artifact must contain the mosaic kernels (attention fwd/bwd in
+    # both towers + InfoNCE + lunif), or the force flags silently
+    # stopped routing to the Pallas branches
+    assert module.count("tpu_custom_call") >= 5
