@@ -46,18 +46,22 @@ MODEL_REGISTRY.setdefault(
 )
 
 
-def test_full_train_step_exports_for_tpu_dp4xtp2():
+@pytest.mark.parametrize("knob", ["tp", "fsdp", "zero1"])
+def test_full_train_step_exports_for_tpu_dp4xtp2(knob):
     """The COMPLETE exp6 train step — Pallas attention, Pallas
     InfoNCE + lunif kernels, warm-phase cond, AdamW — must lower for
-    platform 'tpu' on a dp4×tp2 AbstractMesh.  This is the multi-chip
-    TPU twin of the driver's CPU dryrun: it caught mosaic's refusal to
-    auto-partition the loss kernels on ANY multi-device mesh (fixed by
-    ops.fused._global_batch_kernel's full-mesh shard_map)."""
+    platform 'tpu' on a dp4×tp2 AbstractMesh, under each scaling knob
+    (plain TP, FSDP param+moment sharding, ZeRO-1 moment sharding).
+    This is the multi-chip TPU twin of the driver's CPU dryrun: it
+    caught mosaic's refusal to auto-partition the loss kernels on ANY
+    multi-device mesh (fixed by ops.fused._global_batch_kernel's
+    full-mesh shard_map)."""
     cfg = ExperimentConfig.from_dict(dict(
         model="lw-tiny", batch_size=16, epochs=2, learning_rate=1e-3,
         loss_type="only_lunif_n_then_anchor+lalign+lunif(centroids)",
         only_lunif_epochs=1, fp16=True, seed=0, use_pallas=True,
         mesh_data=4, mesh_model=2,
+        fsdp=(knob == "fsdp"), shard_opt_state=(knob == "zero1"),
     ))
 
     # authoritative state SHAPES from a cheap concrete 1-device setup
@@ -70,6 +74,25 @@ def test_full_train_step_exports_for_tpu_dp4xtp2():
 
     amesh = AbstractMesh((4, 2), ("data", "model"))
     state_shards = param_shardings(state_shapes, amesh)
+    if cfg.fsdp:
+        from sparsify_clip_tpu.parallel.mesh import shard_over_data
+
+        state_shards = state_shards.replace(
+            params=shard_over_data(
+                state_shapes.params, amesh, state_shards.params
+            ),
+            opt_state=shard_over_data(
+                state_shapes.opt_state, amesh, state_shards.opt_state
+            ),
+        )
+    elif cfg.shard_opt_state:
+        from sparsify_clip_tpu.parallel.mesh import zero1_opt_shardings
+
+        state_shards = state_shards.replace(
+            opt_state=zero1_opt_shardings(
+                state_shapes.opt_state, amesh, state_shards.opt_state
+            )
+        )
     batch_shards = NamedSharding(amesh, P(DATA_AXIS))
     optimizer, schedule = build_optimizer(cfg, total_steps=8)
     step = make_train_step(
