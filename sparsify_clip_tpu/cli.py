@@ -60,7 +60,16 @@ def enable_compilation_cache(config: ExperimentConfig) -> None:
 
     path = os.path.abspath(os.path.expanduser(config.compilation_cache_dir))
     os.makedirs(path, exist_ok=True)
+    rebind = jax.config.jax_compilation_cache_dir not in (None, path)
     jax.config.update("jax_compilation_cache_dir", path)
+    if rebind:
+        # the cache singleton binds to the dir first used in this
+        # process; a later dir change (sweep over experiments with
+        # different cache dirs, tests after conftest's suite cache)
+        # silently keeps writing to the old one without a reset
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
 
 
 def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str, float]:

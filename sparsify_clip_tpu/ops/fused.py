@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from sparsify_clip_tpu.losses.contrastive import contrastive_loss
 from sparsify_clip_tpu.losses.unif import lunif_loss
+from sparsify_clip_tpu.ops._overrides import flag_override
 
 
 @functools.lru_cache()
@@ -31,22 +32,13 @@ def _on_tpu() -> bool:
 _FORCE_PALLAS_LOSSES = False
 
 
-class force_pallas_losses:
-    """Trace-time override: the dispatchers below route to the Pallas
-    kernels regardless of ``jax.default_backend()``.  For
-    cross-platform lowering tests that export TPU artifacts from the
-    CPU host (the twin of pallas_attention.force_pallas_attention)."""
-
-    def __enter__(self):
-        global _FORCE_PALLAS_LOSSES
-        self._prev = _FORCE_PALLAS_LOSSES
-        _FORCE_PALLAS_LOSSES = True
-        return self
-
-    def __exit__(self, *exc):
-        global _FORCE_PALLAS_LOSSES
-        _FORCE_PALLAS_LOSSES = self._prev
-        return False
+force_pallas_losses = flag_override(
+    __name__, "_FORCE_PALLAS_LOSSES",
+    "Trace-time override: the dispatchers below route to the Pallas "
+    "kernels regardless of ``jax.default_backend()``.  For "
+    "cross-platform lowering tests that export TPU artifacts from the "
+    "CPU host (the twin of pallas_attention.force_pallas_attention).",
+)
 
 
 def _pallas_route() -> bool:
@@ -75,37 +67,51 @@ def _global_batch_kernel(kernel, arrays, scalars=()):
     """Run a whole-batch loss kernel on a multi-device mesh.
 
     The B×B losses need every pair, so the multi-chip form is
-    gather-then-compute-replicated: shard_map over the FULL mesh (all
-    axes manual — the only placement mosaic accepts), all_gather the
-    batch-sharded embeddings over 'data' inside, and run the kernel on
-    the global batch on every device.  The transpose of the gather is a
-    reduce-scatter of the embedding grads, so backward is exact.  This
-    mirrors what XLA's partitioner does for the XLA twins (the B×B
-    matmul forces the same all-gather); the kernel itself stays the
-    single-program version.
+    gather-then-compute-replicated: constrain the embeddings to fully
+    replicated (ONE all-gather per tensor per step — issued in regular
+    SPMD space, so XLA CSEs it when several loss terms consume the same
+    embeddings), then run the kernel inside a full-mesh shard_map (all
+    axes manual — the only placement mosaic accepts) where each device
+    already holds the global batch.  The gather's transpose
+    reduce-scatters the embedding grads, so backward is exact.  NOTE
+    the kernel's B×B block itself is REPLICATED across the mesh (dp×
+    the loss FLOPs of the data-sharded XLA twins) — the loss block is
+    tiny next to the towers, but the fully-distributed alternative
+    lives in parallel/dist_losses.py (see docs/SCALING.md).
     """
     am = _kernel_mesh()
     if am is None:
         return kernel(*arrays, *scalars)
 
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from sparsify_clip_tpu.parallel.mesh import DATA_AXIS
 
+    if DATA_AXIS not in am.axis_names:
+        raise ValueError(
+            "the fused Pallas losses need the training mesh's "
+            f"'{DATA_AXIS}' axis to place their one replicating gather; "
+            f"got mesh axes {am.axis_names}.  Trace under the standard "
+            "('data', 'model') mesh (parallel/mesh.py) or pass "
+            "use_pallas=False for the XLA twins."
+        )
+
+    replicated = [
+        jax.lax.with_sharding_constraint(a, NamedSharding(am, P()))
+        for a in arrays
+    ]
+
     def worker(arrs, scls):
-        gathered = [
-            jax.lax.all_gather(a, DATA_AXIS, axis=0, tiled=True) for a in arrs
-        ]
-        return kernel(*gathered, *scls)
+        return kernel(*arrs, *scls)
 
     return jax.shard_map(
         worker,
         mesh=am,
-        in_specs=(P(DATA_AXIS), P()),
+        in_specs=(P(), P()),
         out_specs=P(),
         # pallas_call out_shapes carry no vma annotations
         check_vma=False,
-    )(list(arrays), list(scalars))
+    )(replicated, list(scalars))
 
 
 def fused_lunif_loss(x: jnp.ndarray, t: float = 2.0, use_pallas: bool = True):

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sparsify_clip_tpu.ops._overrides import flag_override
+
 NEG_INF = -1e30
 
 
@@ -425,42 +427,22 @@ def mha_pallas_sharded(qkv: jnp.ndarray, heads: int, causal: bool = False) -> jn
 _FORCE_XLA_ATTENTION = False
 _FORCE_PALLAS_ATTENTION = False
 
+force_pallas_attention = flag_override(
+    __name__, "_FORCE_PALLAS_ATTENTION",
+    "Trace-time override: attention_core takes the TPU (Pallas) "
+    "branch regardless of ``jax.default_backend()``.  For "
+    "cross-platform lowering tests that export TPU artifacts from the "
+    "CPU host (tests/test_pipeline.py::test_pipelined_trunk_lowers_for_tpu) "
+    "— the composition bugs that only bite on the TPU backend (nested "
+    "shard_map, vma checks) must be catchable without a chip.",
+)
 
-class force_pallas_attention:
-    """Trace-time override: attention_core takes the TPU (Pallas)
-    branch regardless of ``jax.default_backend()``.  For
-    cross-platform lowering tests that export TPU artifacts from the
-    CPU host (tests/test_pipeline.py::test_pipelined_trunk_lowers_for_tpu)
-    — the composition bugs that only bite on the TPU backend (nested
-    shard_map, vma checks) must be catchable without a chip."""
-
-    def __enter__(self):
-        global _FORCE_PALLAS_ATTENTION
-        self._prev = _FORCE_PALLAS_ATTENTION
-        _FORCE_PALLAS_ATTENTION = True
-        return self
-
-    def __exit__(self, *exc):
-        global _FORCE_PALLAS_ATTENTION
-        _FORCE_PALLAS_ATTENTION = self._prev
-        return False
-
-
-class force_xla_attention:
-    """Context manager routing attention_core to the einsum path for
-    traces performed inside the ``with`` block (math identical to the
-    Pallas kernel to fp32 tolerance; see module docstring)."""
-
-    def __enter__(self):
-        global _FORCE_XLA_ATTENTION
-        self._prev = _FORCE_XLA_ATTENTION
-        _FORCE_XLA_ATTENTION = True
-        return self
-
-    def __exit__(self, *exc):
-        global _FORCE_XLA_ATTENTION
-        _FORCE_XLA_ATTENTION = self._prev
-        return False
+force_xla_attention = flag_override(
+    __name__, "_FORCE_XLA_ATTENTION",
+    "Routes attention_core to the einsum path for traces performed "
+    "inside the ``with`` block (math identical to the Pallas kernel to "
+    "fp32 tolerance; see module docstring).",
+)
 
 
 def attention_core(

@@ -376,6 +376,42 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def state_shardings_for(config: ExperimentConfig, state, mesh) -> Any:
+    """NamedSharding pytree for a TrainState under this config's
+    parallelism knobs: the TP path rules (or the pipeline stage rule),
+    plus FSDP (params AND moments data-sharded) or ZeRO-1 (moments
+    only) on top.  ``state`` may hold real arrays or
+    ``jax.ShapeDtypeStruct``s — the single source of truth shared by
+    the training assembly below, the driver's TPU-export dryrun leg
+    (__graft_entry__), and tests/test_tpu_lowering.py, so the lowering
+    guards always validate the layout production actually runs.
+    """
+    state_shards = param_shardings(state, mesh, pipeline=config.pipeline)
+    if config.fsdp:
+        # FSDP: params AND moments shard over the data axis on top of
+        # the TP rules — train-state HBM scales ~1/dp; XLA inserts the
+        # per-layer all-gathers and grad reduce-scatters (mesh.py).
+        from sparsify_clip_tpu.parallel.mesh import shard_over_data
+
+        state_shards = state_shards.replace(
+            params=shard_over_data(state.params, mesh, state_shards.params),
+            opt_state=shard_over_data(
+                state.opt_state, mesh, state_shards.opt_state
+            ),
+        )
+    elif config.shard_opt_state:
+        # ZeRO-1: moments shard over the data axis on top of the TP
+        # rules — optimizer HBM scales 1/dp, math unchanged (mesh.py).
+        from sparsify_clip_tpu.parallel.mesh import zero1_opt_shardings
+
+        state_shards = state_shards.replace(
+            opt_state=zero1_opt_shardings(
+                state.opt_state, mesh, state_shards.opt_state
+            )
+        )
+    return state_shards
+
+
 def create_train_setup(
     config: ExperimentConfig,
     steps_per_epoch: int,
@@ -487,29 +523,7 @@ def create_train_setup(
     # when the model axis is 1), or by the pipeline stage rule when the
     # model axis means stages.  The rules match the optimizer-moment
     # copies of the kernels too, so mu/nu shard with their params.
-    state_shards = param_shardings(state, mesh, pipeline=config.pipeline)
-    if config.fsdp:
-        # FSDP: params AND moments shard over the data axis on top of
-        # the TP rules — train-state HBM scales ~1/dp; XLA inserts the
-        # per-layer all-gathers and grad reduce-scatters (mesh.py).
-        from sparsify_clip_tpu.parallel.mesh import shard_over_data
-
-        state_shards = state_shards.replace(
-            params=shard_over_data(state.params, mesh, state_shards.params),
-            opt_state=shard_over_data(
-                state.opt_state, mesh, state_shards.opt_state
-            ),
-        )
-    elif config.shard_opt_state:
-        # ZeRO-1: moments shard over the data axis on top of the TP
-        # rules — optimizer HBM scales 1/dp, math unchanged (mesh.py).
-        from sparsify_clip_tpu.parallel.mesh import zero1_opt_shardings
-
-        state_shards = state_shards.replace(
-            opt_state=zero1_opt_shardings(
-                state.opt_state, mesh, state_shards.opt_state
-            )
-        )
+    state_shards = state_shardings_for(config, state, mesh)
     state = jax.device_put(state, state_shards)
 
     train_step = make_train_step(

@@ -26,12 +26,13 @@ from sparsify_clip_tpu.config import ExperimentConfig
 from sparsify_clip_tpu.models.clip import CLIPConfig, MODEL_REGISTRY
 from sparsify_clip_tpu.ops.fused import force_pallas_losses
 from sparsify_clip_tpu.ops.pallas_attention import force_pallas_attention
-from sparsify_clip_tpu.parallel.mesh import (
-    DATA_AXIS,
-    create_mesh,
-    param_shardings,
+from sparsify_clip_tpu.parallel.mesh import DATA_AXIS, create_mesh
+from sparsify_clip_tpu.train import (
+    build_optimizer,
+    create_train_setup,
+    make_train_step,
+    state_shardings_for,
 )
-from sparsify_clip_tpu.train import build_optimizer, create_train_setup, make_train_step
 
 MODEL_REGISTRY.setdefault(
     "lw-tiny",
@@ -73,26 +74,8 @@ def test_full_train_step_exports_for_tpu_dp4xtp2(knob):
     )
 
     amesh = AbstractMesh((4, 2), ("data", "model"))
-    state_shards = param_shardings(state_shapes, amesh)
-    if cfg.fsdp:
-        from sparsify_clip_tpu.parallel.mesh import shard_over_data
-
-        state_shards = state_shards.replace(
-            params=shard_over_data(
-                state_shapes.params, amesh, state_shards.params
-            ),
-            opt_state=shard_over_data(
-                state_shapes.opt_state, amesh, state_shards.opt_state
-            ),
-        )
-    elif cfg.shard_opt_state:
-        from sparsify_clip_tpu.parallel.mesh import zero1_opt_shardings
-
-        state_shards = state_shards.replace(
-            opt_state=zero1_opt_shardings(
-                state_shapes.opt_state, amesh, state_shards.opt_state
-            )
-        )
+    # the SAME sharding assembly production runs (train.py)
+    state_shards = state_shardings_for(cfg, state_shapes, amesh)
     batch_shards = NamedSharding(amesh, P(DATA_AXIS))
     optimizer, schedule = build_optimizer(cfg, total_steps=8)
     step = make_train_step(
