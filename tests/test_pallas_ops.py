@@ -116,3 +116,30 @@ def test_fused_dispatchers_multidevice_mesh_match_xla():
     assert got_nce == pytest.approx(want_nce, rel=1e-5)
     assert got_unif == pytest.approx(want_unif, rel=1e-5)
     np.testing.assert_allclose(g_got, g_want, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_infonce_temperature_grad_on_mesh():
+    """Gradient w.r.t. the REPLICATED learnable-temperature scalar must
+    flow exactly through the multi-device kernel wrapper's
+    check_vma=False shard_map (the classic check_rep transpose footgun
+    — verified empirically in review, pinned here)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparsify_clip_tpu.ops.fused import force_pallas_losses, fused_infonce_loss
+    from sparsify_clip_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(data=4, model=2)
+    img, txt = _embeds(16, 128), _embeds(16, 128)
+    t0 = jnp.float32(0.1)
+    want = float(jax.grad(
+        lambda t: contrastive_loss(img, txt, t)
+    )(t0))
+
+    with jax.sharding.set_mesh(mesh):
+        img_s = jax.device_put(img, NamedSharding(mesh, P("data")))
+        txt_s = jax.device_put(txt, NamedSharding(mesh, P("data")))
+        with force_pallas_losses(), pltpu.force_tpu_interpret_mode():
+            got = float(jax.jit(jax.grad(
+                lambda t: fused_infonce_loss(img_s, txt_s, t)
+            ))(t0))
+    assert got == pytest.approx(want, rel=1e-4)
