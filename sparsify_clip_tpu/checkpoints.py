@@ -92,16 +92,41 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 # ---------------------------------------------------------------- weights-only
-def save_weights(params: Any, path: str) -> str:
-    """Flat .npz export of a param tree (the reference's periodic
-    ``torch.save(model.state_dict())`` equivalent)."""
+def collect_host_arrays(params: Any) -> Dict[str, np.ndarray]:
+    """Flatten a param tree to ``{slash/path: np.ndarray}`` on the host.
+
+    Multihost-safe: leaves sharded across processes (FSDP/ZeRO under
+    ``multihost: true``) are all-gathered — a collective, so EVERY
+    process must call this even if only process 0 writes the file.
+    """
+    multihost = jax.process_count() > 1
+    if multihost:
+        from sparsify_clip_tpu.parallel.multihost import allgather_to_host
+
+    def to_host(leaf) -> np.ndarray:
+        if multihost and isinstance(leaf, jax.Array) and not leaf.is_fully_replicated:
+            return allgather_to_host(leaf)
+        return np.asarray(leaf)
+
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {}
     for key_path, leaf in flat:
         name = "/".join(getattr(k, "key", getattr(k, "name", str(k))) for k in key_path)
-        arrays[name] = np.asarray(leaf)
-    os.makedirs(os.path.dirname(_abs(path)) or ".", exist_ok=True)
-    np.savez(_abs(path), **arrays)
+        arrays[name] = to_host(leaf)
+    return arrays
+
+
+def save_weights(params: Any, path: str) -> str:
+    """Flat .npz export of a param tree (the reference's periodic
+    ``torch.save(model.state_dict())`` equivalent).
+
+    Under multihost every process must call this (the host gather is
+    collective); only process 0 touches the filesystem.
+    """
+    arrays = collect_host_arrays(params)
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(_abs(path)) or ".", exist_ok=True)
+        np.savez(_abs(path), **arrays)
     return path
 
 

@@ -77,12 +77,22 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
     (reference: main(), sparsify_clip.py:1084-1121)."""
     import jax
 
+    # Multihost first: jax.distributed.initialize must precede the
+    # first device query (no-op unless config.multihost).  Every
+    # process runs this same function — the device programs (train
+    # step, eval encoders, orbax saves) are collective; host side
+    # effects (logging, plots, npz writes, prints) belong to process 0.
+    from sparsify_clip_tpu.parallel.multihost import initialize_distributed, is_primary
+
+    initialize_distributed(config)
+    primary = is_primary()
+
     enable_compilation_cache(config)
 
     from sparsify_clip_tpu import checkpoints
     from sparsify_clip_tpu.data import dataset_loader
     from sparsify_clip_tpu.eval import evaluate_model, make_eval_model
-    from sparsify_clip_tpu.logging import RunLogger
+    from sparsify_clip_tpu.logging import NullLogger, RunLogger
     from sparsify_clip_tpu.train import create_train_setup, run_training
     from sparsify_clip_tpu.viz import plot_all_methods
 
@@ -91,16 +101,21 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
 
         enable_nan_debugging(True)
 
-    logger = RunLogger(
-        project=config.project_name,
-        run_name=config.run_name,
-        config=config.to_dict(),
-        log_dir=config.log_dir,
-        backend=config.log_backend,
+    logger = (
+        RunLogger(
+            project=config.project_name,
+            run_name=config.run_name,
+            config=config.to_dict(),
+            log_dir=config.log_dir,
+            backend=config.log_backend,
+        )
+        if primary
+        else NullLogger()
     )
+    say = print if primary else (lambda *a, **k: None)
     set_seed(config.seed)
-    print("Config:", config.to_dict())
-    print("Experiment:", config.run_name)
+    say("Config:", config.to_dict())
+    say("Experiment:", config.run_name)
 
     from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
 
@@ -109,9 +124,9 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
         # 288px, RN50x16 384px, everything else 224px)
         image_size = MODEL_REGISTRY[config.model].image_size
 
-    print("\nLoading the dataset...")
+    say("\nLoading the dataset...")
     train_loader, test_loader = dataset_loader(config, image_size=image_size)
-    print("Dataset loaded.\n")
+    say("Dataset loaded.\n")
 
     setup = create_train_setup(
         config, steps_per_epoch=len(train_loader), image_size=image_size
@@ -146,7 +161,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             # position assumes the original total_steps.
             resume_skip = int(setup.state.step) % len(train_loader)
             resume_end = config.epochs
-            print(
+            say(
                 f"Resumed full state from {target} at step "
                 f"{int(setup.state.step)} (epoch {start_epoch}, "
                 f"skipping {resume_skip} already-trained batches)"
@@ -155,7 +170,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             # weights-only resume — reference semantics
             # (sparsify_clip.py:719-724): optimizer/schedule/temperature
             # restart from scratch.
-            print(f"Resuming weights from {resume_path} at epoch {config.resume_epoch}")
+            say(f"Resuming weights from {resume_path} at epoch {config.resume_epoch}")
             params = checkpoints.load_weights(setup.state.params, resume_path)
             setup.state = setup.state.replace(params=params)
             start_epoch = config.resume_epoch
@@ -182,7 +197,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         plot_fn = None
-        if config.plot_embeddings:
+        if config.plot_embeddings and primary:
             def plot_fn(txt, img):
                 # pass counter in the tag: two eval passes inside the
                 # same wall-clock second must not overwrite each other
@@ -195,7 +210,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             plot_embeddings=config.plot_embeddings, plot_fn=plot_fn,
             mesh=setup.mesh,
         )
-        print("Evaluation Results:", metrics, "\n")
+        say("Evaluation Results:", metrics, "\n")
         logger.log(metrics)
         last_eval = metrics
         return metrics
@@ -217,13 +232,23 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             checkpoints.save_full_async(state, full_dir)
         else:
             checkpoints.save_full(state, full_dir)
-        print(f"Model saved at epoch {epoch}")
+        say(f"Model saved at epoch {epoch}")
 
-    print("Training the model...")
+    say("Training the model...")
     from sparsify_clip_tpu.utils.preemption import GracefulShutdown
 
     shutdown = GracefulShutdown() if config.handle_preemption else None
     if shutdown is not None:
+        stop_fn = shutdown.requested_fn
+        if config.multihost:
+            # collective stop decision: one host's SIGTERM must stop
+            # every process at the SAME step, or the survivors deadlock
+            # in the next step's collectives (a tiny per-step allgather
+            # — negligible next to the step itself)
+            from sparsify_clip_tpu.parallel.multihost import any_process_flag
+
+            def stop_fn():  # noqa: F811 — deliberate multihost override
+                return any_process_flag(shutdown.requested)
         with shutdown:
             state = run_training(
                 setup,
@@ -232,7 +257,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
                 log_fn=log_fn,
                 checkpoint_fn=checkpoint_fn,
                 start_epoch=start_epoch,
-                stop_fn=shutdown.requested_fn,
+                stop_fn=stop_fn,
                 skip_steps=resume_skip,
                 end_epoch=resume_end,
             )
@@ -246,7 +271,7 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             checkpoints.wait_for_async_saves()
             logger.log({"preempted": 1.0})
             logger.finish()
-            print(
+            say(
                 "Preempted: training state checkpointed under "
                 f"{os.path.join(config.checkpoint_dir, config.run_name)}; "
                 'restart with resume_checkpoint: "auto" to continue.'
@@ -263,11 +288,11 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
             skip_steps=resume_skip,
             end_epoch=resume_end,
         )
-    print("Training complete.\n")
+    say("Training complete.\n")
 
-    print("Final evaluation of the model...")
+    say("Final evaluation of the model...")
     final_log = eval_fn(state)
-    print("Evaluation complete.\n")
+    say("Evaluation complete.\n")
 
     os.makedirs(config.checkpoint_dir, exist_ok=True)
     # in-flight background saves must commit before the run ends

@@ -76,6 +76,27 @@ class ExperimentConfig:
     # parallel size 1 = off.
     mesh_data: int = -1
     mesh_model: int = 1
+    # Multi-host (multi-process) launch: every host runs the SAME CLI
+    # command and jax.distributed.initialize() stitches the processes
+    # into one global device mesh (the reference is single-machine
+    # DataParallel, sparsify_clip.py:703 — it has no multi-host story).
+    # Each process then loads only ITS contiguous slice of every global
+    # batch (the loaders' per-(seed, epoch, index) RNG streams make the
+    # union bit-identical to a single-process run), assembles global
+    # arrays via jax.make_array_from_process_local_data, and the same
+    # global-view jit train step runs unchanged.  Logging, plots and
+    # weights-npz writes happen on process 0; orbax full-state saves
+    # are collective (every process writes its shards).  Proven live by
+    # tests/test_multihost_cli.py (two real processes vs one,
+    # bit-for-bit trajectory).
+    multihost: bool = False
+    # Cluster rendezvous for multihost: empty/0/-1 = auto-detect from
+    # the environment (TPU pods, GKE, Slurm — jax.distributed's
+    # standard cluster detection); set explicitly for bare-metal or
+    # tests ("host0:1234", N processes, this process's 0-based id).
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     # Where COCO lives (reference hardcodes ./data/coco, sparsify_clip.py:995-1000).
     data_root: str = "./data/coco"
     # "synthetic" swaps COCO for an on-device generated dataset so the
@@ -315,6 +336,13 @@ class ExperimentConfig:
             raise ValueError(
                 "adam_mu_dtype must be 'float32' or 'bfloat16', got "
                 f"{self.adam_mu_dtype!r}"
+            )
+        if self.multihost and self.loader_backend == "grain":
+            raise ValueError(
+                "multihost: true is implemented for the 'threads' loader "
+                "backend (per-process batch slicing); grain pipelines "
+                "carry their own sharding story — drop loader_backend: "
+                "grain or run single-process"
             )
 
     # Convenience ------------------------------------------------------

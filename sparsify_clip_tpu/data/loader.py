@@ -44,6 +44,8 @@ class DataLoader:
         image_size: int = 224,
         raw_uint8: bool = False,
         image_backend: str = "pil",
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         """``raw_uint8``: skip host augmentation — squash-resize decoded
         images to ``image_size`` and ship uint8 (the device-augment
@@ -55,7 +57,15 @@ class DataLoader:
         RNG streams either way, so the backend never changes data order
         — only the resize arithmetic (~1/255; tests pin the parity).
         Items the native path can't handle (non-JPEG files) fall back
-        to PIL individually."""
+        to PIL individually.
+
+        ``process_count > 1`` (multi-host training): this process loads
+        only its contiguous ``batch_size // process_count`` slice of
+        every global batch.  The epoch order and all per-item draws are
+        keyed by (seed, epoch, GLOBAL index), so the union of the
+        processes' slices is bit-identical to a single-process epoch —
+        no coordination needed (parallel/multihost.py assembles the
+        slices into global jax.Arrays)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer = tokenizer
@@ -67,6 +77,24 @@ class DataLoader:
         self.prefetch = prefetch
         self.image_size = image_size
         self.raw_uint8 = raw_uint8
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"{process_count} processes (ragged per-host batches "
+                "would deadlock collectives)"
+            )
+        if not 0 <= process_index < process_count:
+            raise ValueError(
+                f"process_index {process_index} out of range for "
+                f"process_count {process_count}"
+            )
+        if process_count > 1 and not drop_last:
+            raise ValueError(
+                "process_count > 1 requires drop_last=True (a ragged "
+                "final batch cannot split evenly across processes)"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
         self._native = None
         if image_backend in ("native", "auto"):
             from sparsify_clip_tpu.data.native_imaging import get_pipeline
@@ -188,6 +216,14 @@ class DataLoader:
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
         ]
+        if self.process_count > 1:
+            # this process's contiguous slice of every global batch —
+            # the layout jax.make_array_from_process_local_data expects
+            # for a leading-axis data sharding (process p owns devices
+            # p*ldc..(p+1)*ldc-1, hence rows p*local..(p+1)*local)
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            batches = [idx[lo : lo + local] for idx in batches]
         if not batches:
             return
 

@@ -41,6 +41,16 @@ def dataset_loader(
 ) -> Tuple[DataLoader, DataLoader]:
     tokenizer = _select_tokenizer(config)
 
+    # Multi-host: each process loads only its slice of every global
+    # batch (config.multihost; jax.distributed is initialized by the
+    # CLI before data loading).  Single-process these are (0, 1) and
+    # the loaders behave exactly as before.
+    process_index, process_count = 0, 1
+    if config.multihost:
+        import jax
+
+        process_index, process_count = jax.process_index(), jax.process_count()
+
     if config.dataset == "synthetic":
         n_train = 2048 if config.num_train_samples == -1 else config.num_train_samples
         n_test = 512 if config.num_test_samples == -1 else config.num_test_samples
@@ -82,16 +92,19 @@ def dataset_loader(
             shuffle=True, drop_last=True, num_threads=num_threads,
             image_size=config.device_augment_staging, raw_uint8=True,
             image_backend=config.image_backend,
+            process_index=process_index, process_count=process_count,
         )
     else:
         train_loader = DataLoader(
             train_ds, config.batch_size, tokenizer, train=True, seed=config.seed,
             shuffle=True, drop_last=True, num_threads=num_threads,
             image_size=image_size, image_backend=config.image_backend,
+            process_index=process_index, process_count=process_count,
         )
     test_loader = DataLoader(
         test_ds, config.batch_size, tokenizer, train=False, seed=config.seed,
         shuffle=False, drop_last=True, num_threads=num_threads,
         image_size=image_size, image_backend=config.image_backend,
+        process_index=process_index, process_count=process_count,
     )
     return train_loader, test_loader

@@ -206,16 +206,20 @@ def evaluate_model(
     (the similarity/metric block runs on the gathered embeddings).
     """
     encode = _encode_fn(model)
+    multihost = jax.process_count() > 1
 
     def place(batch):
-        images = jnp.asarray(batch["images"])
-        tokens = jnp.asarray(batch["tokens"])
         if mesh is not None:
-            from sparsify_clip_tpu.parallel.mesh import shard_batch
+            # multihost-aware: each process contributes its local slice
+            # of the global eval batch; single-process this is a plain
+            # data-sharded device_put
+            from sparsify_clip_tpu.parallel.multihost import make_global_batch
 
-            sharded = shard_batch({"images": images, "tokens": tokens}, mesh)
+            sharded = make_global_batch(
+                {"images": batch["images"], "tokens": batch["tokens"]}, mesh
+            )
             return sharded["images"], sharded["tokens"]
-        return images, tokens
+        return jnp.asarray(batch["images"]), jnp.asarray(batch["tokens"])
 
     import contextlib
 
@@ -230,8 +234,19 @@ def evaluate_model(
             img, txt = encode(variables, images, tokens)
             img_chunks.append(img)
             txt_chunks.append(txt)
-    all_img = jnp.concatenate(img_chunks, axis=0)
-    all_txt = jnp.concatenate(txt_chunks, axis=0)
+        if multihost:
+            # cross-process sharded chunks: materialize the FULL
+            # embedding matrices on every host (collective; the metric
+            # block then runs identically per process on local numpy —
+            # eval sets are the reference's 512 samples, so the gather
+            # is tiny next to the encode sweep it concludes)
+            from sparsify_clip_tpu.parallel.multihost import allgather_to_host
+
+            all_img = np.concatenate([allgather_to_host(c) for c in img_chunks])
+            all_txt = np.concatenate([allgather_to_host(c) for c in txt_chunks])
+        else:
+            all_img = jnp.concatenate(img_chunks, axis=0)
+            all_txt = jnp.concatenate(txt_chunks, axis=0)
 
     if plot_embeddings and plot_fn is not None:
         plot_fn(np.asarray(all_txt), np.asarray(all_img))

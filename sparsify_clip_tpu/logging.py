@@ -100,3 +100,27 @@ class RunLogger:
         self._fh.close()
         if self._wandb is not None:
             self._wandb.finish()
+
+
+class NullLogger:
+    """RunLogger-shaped sink for non-primary multihost processes: every
+    process runs the same train/eval code (the device programs are
+    collective), but only process 0 owns the run's log stream, wandb
+    session and artifacts (cli.py gates on ``multihost.is_primary``)."""
+
+    path = ""
+
+    def log(self, metrics: Dict[str, Any]) -> None:
+        pass
+
+    def log_train_step(self, metrics: Dict[str, float], temperature_learnable: bool) -> None:
+        pass
+
+    def log_image(self, key: str, path: str) -> None:
+        pass
+
+    def save_artifact(self, path: str) -> None:
+        pass
+
+    def finish(self) -> None:
+        pass

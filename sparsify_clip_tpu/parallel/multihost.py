@@ -32,6 +32,67 @@ import numpy as np
 from sparsify_clip_tpu.parallel.mesh import batch_sharding
 
 
+def initialize_distributed(config) -> None:
+    """Join the multi-process cluster (no-op unless ``config.multihost``
+    or when already initialized — e.g. a test harness that called
+    ``jax.distributed.initialize`` itself before handing over to
+    ``cli.main``).
+
+    With the rendezvous keys unset (empty ``coordinator_address``),
+    jax.distributed's standard cluster auto-detection applies (TPU
+    pods, GKE, Slurm).  Must run before the first device query — the
+    CLI calls it first thing in ``main()``.
+    """
+    if not getattr(config, "multihost", False):
+        return
+    if jax.distributed.is_initialized():
+        return
+    kwargs = {}
+    if config.coordinator_address:
+        kwargs["coordinator_address"] = config.coordinator_address
+    if config.num_processes > 0:
+        kwargs["num_processes"] = config.num_processes
+    if config.process_id >= 0:
+        kwargs["process_id"] = config.process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def is_primary() -> bool:
+    """True on the process that owns host-side side effects (logging,
+    plots, weights-npz writes).  Always true single-process."""
+    return jax.process_index() == 0
+
+
+def allgather_to_host(x) -> np.ndarray:
+    """The FULL value of a (possibly cross-process sharded) array as
+    host numpy, identical on every process.
+
+    Single-process arrays take the plain ``np.asarray`` path; under
+    multiple processes this is a collective (every process must call
+    it) — the eval/plot path uses it to materialize globally-sharded
+    embeddings on each host.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def any_process_flag(flag: bool) -> bool:
+    """Collective OR of a per-process host flag (preemption
+    coordination: one host's SIGTERM must stop EVERY process's train
+    loop at the same step, or the survivors deadlock in the next
+    step's collectives).  Single-process: the flag itself.
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.int32(bool(flag)))
+    return bool(np.asarray(flags).any())
+
+
 def local_batch_indices(
     global_order: np.ndarray,
     batch_index: int,

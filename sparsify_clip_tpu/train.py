@@ -39,7 +39,6 @@ from sparsify_clip_tpu.parallel.mesh import (
     MODEL_AXIS,
     create_mesh,
     param_shardings,
-    shard_batch,
 )
 from sparsify_clip_tpu.schedules import get_alpha_jax, get_beta_jax, make_lr_schedule
 from sparsify_clip_tpu.utils.numerics import l2_normalize
@@ -594,6 +593,8 @@ def run_training(
         host→device transfer (jax.device_put is async) overlaps the
         current step's compute.  ``skip`` drops leading batches on the
         host, before any device transfer."""
+        from sparsify_clip_tpu.parallel.multihost import make_global_batch
+
         pending = None
         it = train_batches(epoch)
         for _ in range(skip):
@@ -601,8 +602,11 @@ def run_training(
                 break
         for batch in it:
             # device batch = array fields only (loaders also carry the
-            # raw caption strings for debugging/roberta-style losses)
-            nxt = shard_batch(
+            # raw caption strings for debugging/roberta-style losses).
+            # make_global_batch degrades to a plain sharded device_put
+            # single-process; under multihost each process contributes
+            # its local slice of the global batch (parallel/multihost).
+            nxt = make_global_batch(
                 {"images": batch["images"], "tokens": batch["tokens"]}, setup.mesh
             )
             if pending is not None:
