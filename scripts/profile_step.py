@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--remat-policy", default="nothing",
                     help="selective remat policy when --remat is on "
                          "(nothing|dots|dots_no_batch|attn_out)")
+    ap.add_argument("--loss", default=None,
+                    help="override the exp6 loss_type (e.g. siglip — "
+                         "A/Bs the loss block + full step under the "
+                         "same tower)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +78,8 @@ def main():
 
     out = {"model": args.model, "batch": args.batch,
            "backend": jax.default_backend(),
-           "remat": args.remat, "remat_policy": args.remat_policy}
+           "remat": args.remat, "remat_policy": args.remat_policy,
+           "loss": args.loss or "exp6"}
 
     # --- 1. sustained matmul rates at step-relevant shapes
     B, LV, LT = args.batch, 50, 77
@@ -88,9 +93,18 @@ def main():
     # --- 2. build the step
     from _bench import exp6_config, synthetic_batch
 
+    loss_overrides = {}
+    if args.loss:
+        loss_overrides["loss_type"] = args.loss
+        if args.loss == "siglip":
+            # siglip carries its own learnables; exp6's warm phase and
+            # temperature knobs don't apply
+            loss_overrides.update(
+                only_lunif_epochs=0, anchor_temperature_learnable=False)
     config = exp6_config(
         args.model, args.batch,
         remat=args.remat, remat_policy=args.remat_policy,
+        **loss_overrides,
     )
     mesh = create_mesh(data=1, model=1)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
@@ -129,6 +143,10 @@ def main():
         return l2_normalize(img).sum() + l2_normalize(txt).sum()
 
     loss_fn = make_loss_fn(config.loss_type, use_pallas=True)
+    ctx_extra = (
+        {"logit_scale": jnp.float32(10.0), "logit_bias": jnp.float32(-10.0)}
+        if config.loss_type == "siglip" else {}
+    )
 
     def loss_of(variables, images, tokens_):
         kw = dict(train=True)
@@ -139,7 +157,7 @@ def main():
             img, txt = model.apply(variables, images, tokens_, **kw)
         ctx = LossContext(
             temperature=jnp.float32(0.1), beta=jnp.float32(0.0),
-            alpha=jnp.float32(0.0), warm=jnp.array(False),
+            alpha=jnp.float32(0.0), warm=jnp.array(False), **ctx_extra,
         )
         loss, _ = loss_fn(l2_normalize(img), l2_normalize(txt), ctx)
         return loss
@@ -150,7 +168,7 @@ def main():
     def loss_block(img, txt):
         ctx = LossContext(
             temperature=jnp.float32(0.1), beta=jnp.float32(0.0),
-            alpha=jnp.float32(0.0), warm=jnp.array(False),
+            alpha=jnp.float32(0.0), warm=jnp.array(False), **ctx_extra,
         )
         loss, _ = loss_fn(img, txt, ctx)
         return loss

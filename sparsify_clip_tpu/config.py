@@ -242,6 +242,13 @@ class ExperimentConfig:
     sparse_topk: int = 64
     sparse_l1: float = 0.01
     sparse_after_epoch: int = 1
+    # SigLIP sigmoid contrastive loss (loss_type: "siglip" — framework
+    # extension, losses/sigmoid.py; the reference has softmax InfoNCE
+    # only).  Both scalars are ALWAYS learnable (the paper's recipe):
+    # the scale as log-space t' so exp keeps it positive under AdamW,
+    # the bias raw.  Paper inits: scale 10, bias -10.
+    siglip_logit_scale_init: float = 10.0
+    siglip_logit_bias_init: float = -10.0
     # NaN debugging: jax_debug_nans inside jit (the reference has no
     # sanitizers; SURVEY.md §5).
     debug_nans: bool = False
@@ -323,6 +330,20 @@ class ExperimentConfig:
             )
         if not isinstance(self.learning_rate, float):
             raise ValueError("learning_rate must be a float after coercion")
+        if self.loss_type == "siglip":
+            if self.anchor_temperature_learnable:
+                raise ValueError(
+                    "loss_type 'siglip' carries its own learnable "
+                    "logit_scale/logit_bias — drop "
+                    "anchor_temperature_learnable: true (two competing "
+                    "learnable scales would silently diverge from both "
+                    "recipes)"
+                )
+            if self.siglip_logit_scale_init <= 0:
+                raise ValueError(
+                    "siglip_logit_scale_init must be positive (it is "
+                    f"learned in log space), got {self.siglip_logit_scale_init}"
+                )
         if self.grad_accum_steps < 1:
             raise ValueError(
                 f"grad_accum_steps must be >= 1, got {self.grad_accum_steps}"

@@ -66,18 +66,25 @@ class RunLogger:
         runs log the temperature under the reference's typo'd key;
         fixed-temperature runs log beta/alpha."""
         if temperature_learnable:
-            self.log({
+            record = {
                 "train_loss": metrics["train_loss"],
                 "constrantive_temperature_learnable": metrics["temperature"],
                 "learning_rate": metrics["learning_rate"],
-            })
+            }
         else:
-            self.log({
+            record = {
                 "train_loss": metrics["train_loss"],
                 "learning_rate": metrics["learning_rate"],
                 "beta": metrics["beta"],
                 "alpha": metrics["alpha"],
-            })
+            }
+        # extension scalars (e.g. SigLIP's learnable scale/bias) ride
+        # along when the step produces them; reference runs never do,
+        # so the reference schema above is untouched
+        for key in ("siglip_scale", "siglip_bias"):
+            if key in metrics:
+                record[key] = metrics[key]
+        self.log(record)
 
     def log_image(self, key: str, path: str) -> None:
         if self._wandb is not None:

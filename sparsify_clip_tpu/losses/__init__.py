@@ -15,6 +15,7 @@ from sparsify_clip_tpu.losses.align import (  # noqa: F401
     centroid_alignment_loss,
 )
 from sparsify_clip_tpu.losses.unif import lunif_loss, sparsify_loss  # noqa: F401
+from sparsify_clip_tpu.losses.sigmoid import siglip_loss  # noqa: F401
 from sparsify_clip_tpu.losses.centroids import (  # noqa: F401
     compute_centroids,
     compute_centroids_only,

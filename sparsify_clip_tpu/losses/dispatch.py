@@ -62,6 +62,11 @@ class LossContext:
     # reference derives it on host from RoBERTa sentence similarities,
     # sparsify_clip.py:135-157).  None for every other loss_type.
     soft_targets: jnp.ndarray = None
+    # SigLIP scalars (loss_type "siglip" only, framework extension):
+    # positive multiplier ``exp(t')`` of the learnable log-scale, and
+    # the learnable bias.  None for every other loss_type.
+    logit_scale: jnp.ndarray = None
+    logit_bias: jnp.ndarray = None
 
 
 def _zero() -> jnp.ndarray:
@@ -156,6 +161,23 @@ def _anchor_roberta(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=
     return loss, {"anchor": loss, "lalign": _zero(), "lunif": _zero()}
 
 
+def _siglip(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
+    # Framework extension (losses/sigmoid.py): pairwise sigmoid
+    # contrastive loss with learnable scale/bias.  The scalars arrive
+    # through the context (train.py threads them from
+    # TrainState.loss_scalars); both must be set.
+    from sparsify_clip_tpu.losses.sigmoid import siglip_loss
+
+    if ctx.logit_scale is None or ctx.logit_bias is None:
+        raise ValueError(
+            "loss_type 'siglip' needs logit_scale/logit_bias in the "
+            "LossContext (the train loop supplies them from "
+            "TrainState.loss_scalars; direct callers must pass both)."
+        )
+    loss = siglip_loss(img, txt, ctx.logit_scale, ctx.logit_bias)
+    return loss, {"anchor": loss, "lalign": _zero(), "lunif": _zero()}
+
+
 def _anchor_lalign(img, txt, ctx: LossContext, infonce=contrastive_loss, lunif=lunif_loss):
     # Ablation 1 (sparsify_clip.py:922-927).
     anchor = infonce(img, txt, ctx.temperature)
@@ -197,6 +219,7 @@ _DISPATCH: Dict[str, Tuple[LossFn, bool]] = {
             _warm_lunif(img, txt, lunif),
         False,
     ),
+    "siglip": (_siglip, False),
     "anchor+lunif": (
         lambda img, txt, ctx, infonce=contrastive_loss, lunif=lunif_loss: (
             lambda a, u: (a + u, {"anchor": a, "lalign": _zero(), "lunif": u})

@@ -111,6 +111,62 @@ def global_lalign_loss(
     return jax.lax.psum(local, axis_name) / n
 
 
+def ring_siglip_loss(
+    img_local: jnp.ndarray,
+    txt_local: jnp.ndarray,
+    logit_scale,
+    logit_bias,
+    axis_name: str = DATA_AXIS,
+) -> jnp.ndarray:
+    """Ring-chunked global-batch sigmoid loss (the SigLIP paper's
+    "chunked" implementation, re-derived for ``shard_map``/``ppermute``).
+
+    Unlike InfoNCE, the sigmoid loss has **no cross-row coupling** — the
+    global (N, N) sum is just the sum of all (b, b) device blocks.  So
+    instead of all-gathering the text embeddings (as
+    :func:`global_contrastive_loss` must for its row LSE), each device
+    keeps its image shard resident and the text shards travel the ring:
+    at step k device d holds the texts of device (d - k) mod n and adds
+    that block's partial sum.  Peak memory is O(b·D + b²) per device —
+    independent of the device count — and each step's (b, D) ppermute
+    rides a single ICI hop, overlapping the (b, b) block matmul.
+
+    Positives (the +1-diagonal block) appear exactly once, at k = 0,
+    where a device's own image and text shards meet; every other block
+    is all-negatives.  Summation order differs from the single-device
+    computation, so equality with :func:`losses.sigmoid.siglip_loss` is
+    up to fp accumulation order (tests pin ~1e-6 rel on fp32).
+    """
+    b_local = img_local.shape[0]
+    n_dev = _axis_size(axis_name)  # psum of a python int: static
+    n = b_local * n_dev
+
+    def block(txt_chunk: jnp.ndarray, diag_positive: bool) -> jnp.ndarray:
+        logits = (
+            fp32_matmul(img_local, txt_chunk.T) * logit_scale + logit_bias
+        )
+        if diag_positive:
+            row = jax.lax.broadcasted_iota(jnp.int32, (b_local, b_local), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (b_local, b_local), 1)
+            z = jnp.where(row == col, 1.0, -1.0)
+        else:
+            z = -1.0
+        return -jnp.sum(jax.nn.log_sigmoid(z * logits))
+
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    total = block(txt_local, True)
+    chunk = txt_local
+    # unrolled ring: n_dev - 1 data-dependent ppermute+matmul steps.
+    # (deliberately NOT lax.scan: collectives inside scan deadlock the
+    # fake-device CPU mesh the tests run on — see CLAUDE.md — and for
+    # real meshes the unrolled chain lets XLA overlap hop k+1's ppermute
+    # with hop k's matmul)
+    for _ in range(n_dev - 1):
+        chunk = jax.lax.ppermute(chunk, axis_name, perm)
+        total = total + block(chunk, False)
+    return jax.lax.psum(total, axis_name) / n
+
+
 def global_normalized_centroids(img_local: jnp.ndarray, txt_local: jnp.ndarray):
     """Paired midpoints are local math — shard-parallel for free."""
     c = (img_local.astype(jnp.float32) + txt_local.astype(jnp.float32)) / 2.0

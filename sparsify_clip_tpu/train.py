@@ -51,6 +51,11 @@ class TrainState(flax.struct.PyTreeNode):
     temperature: jnp.ndarray          # raw scalar (trainable iff configured)
     opt_state: Any
     rng: jax.Array
+    # Extra learnable loss scalars, or None.  loss_type "siglip" puts
+    # {"logit_scale": t' (log-space), "logit_bias": b} here; they join
+    # the trainables dict and AdamW updates them like everything else
+    # (wd-on-all, matching the framework's temperature treatment).
+    loss_scalars: Any = None
 
 
 @dataclasses.dataclass
@@ -75,6 +80,8 @@ def _trainables(state: TrainState, learnable_temp: bool):
     tree = {"model": state.params}
     if learnable_temp:
         tree["temperature"] = state.temperature
+    if state.loss_scalars is not None:
+        tree["loss_scalars"] = state.loss_scalars
     return tree
 
 
@@ -117,6 +124,7 @@ def make_train_step(
     """
     loss_core = make_loss_fn(config.loss_type, use_pallas=config.use_pallas)
     learnable_temp = config.anchor_temperature_learnable
+    has_siglip = config.loss_type == "siglip"
     has_bn = model.cfg.vision_kind == "resnet"
     target_size = image_size or model.cfg.image_size
     if config.device_augment:
@@ -186,7 +194,7 @@ def make_train_step(
             img, txt = model.apply(variables, imgs, toks, train=True)
             return l2_normalize(img), l2_normalize(txt), bn
 
-        def loss_from_embeddings(img, txt, temp):
+        def loss_from_embeddings(img, txt, temp, loss_scalars):
             if projection is not None:
                 # north-star sparsification stage: project embeddings
                 # once past sparse_after_epoch (lax.cond on traced epoch
@@ -198,10 +206,19 @@ def make_train_step(
                     lambda i, t: (i, t),
                     img, txt,
                 )
+            extra = {}
+            if has_siglip:
+                # scale is learned in log space; exp here so the loss
+                # (and its grads) see the positive multiplier
+                extra = {
+                    "logit_scale": jnp.exp(loss_scalars["logit_scale"]),
+                    "logit_bias": loss_scalars["logit_bias"],
+                }
             ctx = LossContext(
                 temperature=temp, beta=beta, alpha=alpha, warm=warm,
                 # host-supplied (B, B) soft targets for "anchor-roberta"
                 soft_targets=batch.get("soft_targets"),
+                **extra,
             )
             return loss_core(img, txt, ctx)
 
@@ -211,11 +228,18 @@ def make_train_step(
                 else jnp.float32(config.anchor_temperature)
             )
 
+        def _scalars_of(trainables):
+            # {} (not None) so value_and_grad over the argument is a
+            # no-op rather than an error for non-siglip losses
+            return trainables.get("loss_scalars", {})
+
         def loss_of(trainables):
             img, txt, new_bn = encode_micro(
                 trainables["model"], state.batch_stats, images, batch["tokens"]
             )
-            loss, aux = loss_from_embeddings(img, txt, _temp_of(trainables))
+            loss, aux = loss_from_embeddings(
+                img, txt, _temp_of(trainables), _scalars_of(trainables)
+            )
             return loss, (aux, new_bn)
 
         def gradcache_value_and_grad(trainables):
@@ -291,9 +315,9 @@ def make_train_step(
             img_all = reassemble(img_mb)
             txt_all = reassemble(txt_mb)
 
-            (loss, aux), (d_img, d_txt, d_temp) = jax.value_and_grad(
-                loss_from_embeddings, argnums=(0, 1, 2), has_aux=True
-            )(img_all, txt_all, _temp_of(trainables))
+            (loss, aux), (d_img, d_txt, d_temp, d_scalars) = jax.value_and_grad(
+                loss_from_embeddings, argnums=(0, 1, 2, 3), has_aux=True
+            )(img_all, txt_all, _temp_of(trainables), _scalars_of(trainables))
 
             def p2(acc, xs):
                 i, di, dti = xs
@@ -319,6 +343,8 @@ def make_train_step(
             grads = {"model": grads_model}
             if learnable_temp:
                 grads["temperature"] = d_temp
+            if has_siglip:
+                grads["loss_scalars"] = d_scalars
             return (loss, (aux, final_bn)), grads
 
         trainables = _trainables(state, learnable_temp)
@@ -340,6 +366,7 @@ def make_train_step(
             ),
             opt_state=new_opt_state,
             rng=new_rng,
+            loss_scalars=new_trainables.get("loss_scalars", state.loss_scalars),
         )
         metrics = {
             "train_loss": loss,
@@ -352,6 +379,11 @@ def make_train_step(
             ),
             **aux,
         }
+        if has_siglip:
+            metrics["siglip_scale"] = jnp.exp(
+                new_trainables["loss_scalars"]["logit_scale"]
+            )
+            metrics["siglip_bias"] = new_trainables["loss_scalars"]["logit_bias"]
         return new_state, metrics
 
     if state_shards is not None:
@@ -504,9 +536,21 @@ def create_train_setup(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
+    loss_scalars = None
+    if config.loss_type == "siglip":
+        # SigLIP learnables (losses/sigmoid.py): log-space scale so exp
+        # keeps the multiplier positive under unconstrained AdamW, raw
+        # bias.  Paper inits: scale 10, bias -10.
+        loss_scalars = {
+            "logit_scale": jnp.log(jnp.float32(config.siglip_logit_scale_init)),
+            "logit_bias": jnp.float32(config.siglip_logit_bias_init),
+        }
+
     trainables = {"model": params}
     if config.anchor_temperature_learnable:
         trainables["temperature"] = temperature
+    if loss_scalars is not None:
+        trainables["loss_scalars"] = loss_scalars
     opt_state = optimizer.init(trainables)
 
     state = TrainState(
@@ -516,6 +560,7 @@ def create_train_setup(
         temperature=temperature,
         opt_state=opt_state,
         rng=state_rng,
+        loss_scalars=loss_scalars,
     )
 
     # Shard the whole state by the TP path rules (everything replicated

@@ -21,13 +21,16 @@ def _pair():
     return img, txt
 
 
-def _ctx(warm=False, beta=0.7, alpha=1.3, temp=0.1, soft_targets=None):
+def _ctx(warm=False, beta=0.7, alpha=1.3, temp=0.1, soft_targets=None,
+         logit_scale=None, logit_bias=None):
     return LossContext(
         temperature=jnp.float32(temp),
         beta=jnp.float32(beta),
         alpha=jnp.float32(alpha),
         warm=jnp.array(warm),
         soft_targets=soft_targets,
+        logit_scale=logit_scale,
+        logit_bias=logit_bias,
     )
 
 
@@ -191,10 +194,14 @@ def test_anchor_roberta_requires_soft_targets(pair):
 def test_every_live_loss_type_runs(pair):
     img, txt, _, _ = pair
     for loss_type in KNOWN_LOSS_TYPES:
-        kw = (
-            {"soft_targets": jnp.asarray(_soft_targets())}
-            if loss_type == "anchor-roberta" else {}
-        )
+        kw = {}
+        if loss_type == "anchor-roberta":
+            kw = {"soft_targets": jnp.asarray(_soft_targets())}
+        elif loss_type == "siglip":
+            kw = {
+                "logit_scale": jnp.float32(10.0),
+                "logit_bias": jnp.float32(-10.0),
+            }
         loss, aux = _run(loss_type, img, txt, **kw)
         assert np.isfinite(loss)
         assert set(aux) >= {"anchor", "lalign", "lunif"}
