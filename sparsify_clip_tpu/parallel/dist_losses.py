@@ -18,6 +18,8 @@ dividing by N(N−1) reproduces the condensed mean.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
@@ -172,3 +174,228 @@ def global_normalized_centroids(img_local: jnp.ndarray, txt_local: jnp.ndarray):
     c = (img_local.astype(jnp.float32) + txt_local.astype(jnp.float32)) / 2.0
     norm = jnp.linalg.norm(c, axis=-1, keepdims=True)
     return c / jnp.maximum(norm, 1e-12)
+
+
+# --------------------------------------------------------------------
+# Ring-chunked losses: O(b·D + b²) peak memory per device, independent
+# of the device count.  Unlike the all-gather formulations above, the
+# (N, D) gathered embeddings and the (b, N) row blocks are NEVER
+# materialized — per hop only one (b, b) block exists, and softmax
+# statistics accumulate online (flash-attention style).  See
+# docs/SCALING.md for the memory table.
+# --------------------------------------------------------------------
+
+_NEG = -1e30  # finite -inf stand-in: avoids (-inf) − (-inf) = NaN
+
+
+def _ring_hop(args, axis_name, perm):
+    return tuple(jax.lax.ppermute(a, axis_name, perm) for a in args)
+
+
+def _infonce_ring_stats(img32, txt32, temp, axis_name):
+    """One ring pass → (row_lse, col_lse), both (b,) local.
+
+    Row (image→text) LSE stays resident and folds in each visiting text
+    chunk.  Column (text→image) statistics TRAVEL with their chunk: at
+    hop k the holder folds its own image rows into the chunk's column
+    max/sum, so after a full loop the stats return home complete.  The
+    final hop carries only the (b,) stat vectors, not the (b, D) chunk.
+    """
+    b = img32.shape[0]
+    n_dev = _axis_size(axis_name)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    row_max = jnp.full((b,), _NEG, jnp.float32)
+    row_sum = jnp.zeros((b,), jnp.float32)
+    col_max = jnp.full((b,), _NEG, jnp.float32)
+    col_sum = jnp.zeros((b,), jnp.float32)
+    chunk = txt32
+    # unrolled ring — NOT lax.scan (CLAUDE.md: collectives inside scan
+    # deadlock the fake-device CPU mesh; unrolled lets XLA overlap the
+    # next hop's ppermute with this hop's block matmul on real ICI)
+    for k in range(n_dev):
+        z = fp32_matmul(img32, chunk.T) / temp  # (b, b) — the only block
+        new_rmax = jnp.maximum(row_max, jnp.max(z, axis=1))
+        row_sum = row_sum * jnp.exp(row_max - new_rmax) + jnp.sum(
+            jnp.exp(z - new_rmax[:, None]), axis=1
+        )
+        row_max = new_rmax
+        new_cmax = jnp.maximum(col_max, jnp.max(z, axis=0))
+        col_sum = col_sum * jnp.exp(col_max - new_cmax) + jnp.sum(
+            jnp.exp(z - new_cmax[None, :]), axis=0
+        )
+        col_max = new_cmax
+        if k < n_dev - 1:
+            chunk, col_max, col_sum = _ring_hop(
+                (chunk, col_max, col_sum), axis_name, perm
+            )
+        else:  # stats-only hop: brings each chunk's column LSE home
+            col_max, col_sum = _ring_hop((col_max, col_sum), axis_name, perm)
+    return row_max + jnp.log(row_sum), col_max + jnp.log(col_sum)
+
+
+def _ring_infonce_fwd(img_local, txt_local, temperature, axis_name):
+    img32 = img_local.astype(jnp.float32)
+    txt32 = txt_local.astype(jnp.float32)
+    temp = jnp.asarray(temperature, jnp.float32)
+    b = img32.shape[0]
+    n = b * _axis_size(axis_name)
+    row_lse, col_lse = _infonce_ring_stats(img32, txt32, temp, axis_name)
+    diag = jnp.sum(img32 * txt32, axis=1) / temp  # positives are paired rows
+    part = jnp.sum(row_lse - diag) + jnp.sum(col_lse - diag)
+    loss = jax.lax.psum(part, axis_name) / (2.0 * n)
+    return loss, (img_local, txt_local, temperature, row_lse, col_lse)
+
+
+def _ring_infonce_bwd(axis_name, residuals, g):
+    img_local, txt_local, temperature, row_lse, col_lse = residuals
+    img32 = img_local.astype(jnp.float32)
+    txt32 = txt_local.astype(jnp.float32)
+    temp = jnp.asarray(temperature, jnp.float32)
+    b = img32.shape[0]
+    n_dev = _axis_size(axis_name)
+    n = b * n_dev
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    scale = jnp.asarray(g, jnp.float32) / (2.0 * n)
+
+    dimg = jnp.zeros_like(img32)
+    dtxt = jnp.zeros_like(txt32)  # travels with the chunk; returns home
+    dtemp_acc = jnp.float32(0.0)
+    chunk, chunk_lse = txt32, col_lse
+    for k in range(n_dev):
+        z = fp32_matmul(img32, chunk.T) / temp
+        # dZ = (g/2N)·(softmax_row + softmax_col − 2δ); δ only in the
+        # own-chunk block (hop 0), where global row id == col id.
+        p = jnp.exp(z - row_lse[:, None]) + jnp.exp(z - chunk_lse[None, :])
+        if k == 0:
+            p = p - 2.0 * jnp.eye(b, dtype=jnp.float32)
+        dz = scale * p
+        dimg = dimg + fp32_matmul(dz, chunk) / temp
+        dtxt = dtxt + fp32_matmul(dz.T, img32) / temp
+        dtemp_acc = dtemp_acc + jnp.sum(dz * z)
+        if k < n_dev - 1:
+            chunk, chunk_lse, dtxt = _ring_hop(
+                (chunk, chunk_lse, dtxt), axis_name, perm
+            )
+        else:  # final hop returns each chunk's grad to its owner
+            (dtxt,) = _ring_hop((dtxt,), axis_name, perm)
+
+    # every device returns the FULL temperature grad (replicated input →
+    # replicated cotangent; shard_map check_vma=False does not psum)
+    dtemp = -jax.lax.psum(dtemp_acc, axis_name) / temp
+    t_arr = jnp.asarray(temperature)
+    return (
+        dimg.astype(img_local.dtype),
+        dtxt.astype(txt_local.dtype),
+        jnp.reshape(dtemp.astype(t_arr.dtype), jnp.shape(t_arr)),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ring_infonce(img_local, txt_local, temperature, axis_name):
+    loss, _ = _ring_infonce_fwd(img_local, txt_local, temperature, axis_name)
+    return loss
+
+
+_ring_infonce.defvjp(_ring_infonce_fwd, _ring_infonce_bwd)
+
+
+def ring_infonce_loss(
+    img_local: jnp.ndarray,
+    txt_local: jnp.ndarray,
+    temperature,
+    axis_name: str = DATA_AXIS,
+) -> jnp.ndarray:
+    """Ring-chunked symmetric InfoNCE (sparsify_clip.py:110-132 at global
+    batch) — the softmax counterpart of :func:`ring_siglip_loss`.
+
+    :func:`global_contrastive_loss` must all-gather the (N, D) text and
+    image matrices for its row logsumexp; this version never does.  Text
+    chunks travel the ring (one (b, D) ppermute per hop — a single ICI
+    hop that overlaps the (b, b) block matmul), row-LSE accumulates
+    locally and column-LSE rides along with each chunk, flash-style.
+    The custom VJP recomputes the blocks in a second ring pass with the
+    saved (b,) LSE vectors and ferries each text shard's gradient around
+    the ring, so neither pass materializes more than O(b·D + b²) per
+    device — independent of the device count.  Value and gradients match
+    :func:`global_contrastive_loss` (and the single-device
+    :func:`~sparsify_clip_tpu.losses.contrastive.contrastive_loss`) to
+    fp32 accumulation order; the learnable raw-divisor temperature
+    (sparsify_clip.py:716-717) receives its exact gradient.
+    """
+    return _ring_infonce(img_local, txt_local, temperature, axis_name)
+
+
+def _lunif_block(x32, chunk, t, own_block):
+    gram = fp32_matmul(x32, chunk.T)
+    nl = jnp.sum(jnp.square(x32), axis=1)
+    nc = jnp.sum(jnp.square(chunk), axis=1)
+    d2 = jnp.maximum(nl[:, None] + nc[None, :] - 2.0 * gram, 0.0)
+    w = jnp.exp(-t * d2)
+    if own_block:  # self-pairs live only where a shard meets itself
+        w = w * (1.0 - jnp.eye(x32.shape[0], dtype=jnp.float32))
+    return w
+
+
+def _ring_lunif_fwd(x_local, t, axis_name):
+    x32 = x_local.astype(jnp.float32)
+    b = x32.shape[0]
+    n_dev = _axis_size(axis_name)
+    n = b * n_dev
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    chunk = x32
+    total = jnp.float32(0.0)
+    for k in range(n_dev):
+        total = total + jnp.sum(_lunif_block(x32, chunk, t, k == 0))
+        if k < n_dev - 1:
+            (chunk,) = _ring_hop((chunk,), axis_name, perm)
+    s = jax.lax.psum(total, axis_name)  # Σ_{i≠j} over ordered pairs
+    return jnp.log(s / (n * (n - 1))), (x_local, s)
+
+
+def _ring_lunif_bwd(t, axis_name, residuals, g):
+    x_local, s = residuals
+    x32 = x_local.astype(jnp.float32)
+    b = x32.shape[0]
+    n_dev = _axis_size(axis_name)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    chunk = x32
+    r = jnp.zeros((b,), jnp.float32)
+    wx = jnp.zeros_like(x32)
+    # W is symmetric, so each device's full row sums close after one
+    # loop — no traveling accumulator needed (unlike InfoNCE's dtxt)
+    for k in range(n_dev):
+        w = _lunif_block(x32, chunk, t, k == 0)
+        r = r + jnp.sum(w, axis=1)
+        wx = wx + fp32_matmul(w, chunk)
+        if k < n_dev - 1:
+            (chunk,) = _ring_hop((chunk,), axis_name, perm)
+    dx = (-4.0 * t / s) * (x32 * r[:, None] - wx)
+    return (jnp.asarray(g, jnp.float32) * dx).astype(x_local.dtype),
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _ring_lunif(x_local, t, axis_name):
+    loss, _ = _ring_lunif_fwd(x_local, t, axis_name)
+    return loss
+
+
+_ring_lunif.defvjp(_ring_lunif_fwd, _ring_lunif_bwd)
+
+
+def ring_lunif_loss(
+    x_local: jnp.ndarray, t: float = 2.0, axis_name: str = DATA_AXIS
+) -> jnp.ndarray:
+    """Ring-chunked condensed-pdist uniformity (sparsify_clip.py:159-164
+    at global batch).
+
+    :func:`global_lunif_loss` all-gathers the (N, D) embeddings; here
+    the shards travel the ring instead and only one (b, b)
+    exp(−t·d²) block exists per hop.  The custom VJP recomputes the
+    blocks (residuals: just the local shard and the scalar pair sum) and
+    uses W's symmetry to close each row sum in a single loop:
+    dx_i = −4t/S·(r_i·x_i − (Wx)_i).  Value and gradients match
+    :func:`global_lunif_loss` / the single-device
+    :func:`~sparsify_clip_tpu.losses.unif.lunif_loss`.
+    """
+    return _ring_lunif(x_local, t, axis_name)
