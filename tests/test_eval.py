@@ -67,6 +67,33 @@ def test_backward_duplicate_text_ids_min_rank():
     np.testing.assert_array_equal(np.asarray(rank_b), [0, 0])
 
 
+def test_retrieval_rank_tie_semantics_pinned():
+    """Deliberate score tie (PARITY "Known deltas"): ranks are
+    strictly-greater counts, so a distractor that TIES the ground truth
+    does not worsen the rank.  The reference's list.index over a
+    descending sort can place the gt after the tied distractor when the
+    sort order breaks the tie that way (sparsify_clip.py:372-414) — an
+    at-most-one-position optimistic delta, pinned here on purpose."""
+    sim = jnp.asarray(np.array(
+        [[0.5, 0.5, 0.1],   # text 0: gt image 0 tied with image 1
+         [0.2, 0.9, 0.2],   # text 1: clean
+         [0.7, 0.3, 0.7]],  # text 2: gt image 2 tied with image 0
+        np.float32,
+    ))
+    ids = jnp.arange(3)
+    rank_f, rank_b = retrieval_ranks(sim, ids, ids)
+    # strictly-greater: ties never count against the gt → rank 0
+    np.testing.assert_array_equal(np.asarray(rank_f), [0, 0, 0])
+    # columns: img0 scores [.5,.2,.7] gt .5 → one greater (0.7) → 1;
+    # img1 [.5,.9,.3] gt .9 → 0; img2 [.1,.2,.7] gt .7 → 0
+    np.testing.assert_array_equal(np.asarray(rank_b), [1, 0, 0])
+    # the reference's sort-position semantics on the same tie: numpy's
+    # stable descending argsort puts the EARLIER index first, so text 2
+    # (gt col 2 tied with col 0) would get rank 1, not 0
+    order = np.argsort(-np.asarray(sim)[2], kind="stable")
+    assert int(np.where(order == 2)[0][0]) == 1  # the documented delta
+
+
 def test_perfect_retrieval_gives_100():
     x = _embeds(32, 16)
     metrics = compute_all_metrics(jnp.asarray(x * 5), jnp.asarray(x * 5))

@@ -50,6 +50,71 @@ def test_wandb_backend_falls_back(tmp_path):
     assert os.path.exists(logger.path)
 
 
+class _FakeWandb:
+    """Minimal wandb-shaped module: records every call so the REAL
+    wandb branch of RunLogger (init/log/save/Image/finish —
+    sparsify_clip.py:1087,944-951,294,1119) is executed, not just the
+    JSONL fallback."""
+
+    class Image:
+        def __init__(self, path):
+            self.path = path
+
+    def __init__(self):
+        self.calls = []
+
+    def init(self, **kw):
+        self.calls.append(("init", kw))
+
+    def log(self, metrics):
+        self.calls.append(("log", metrics))
+
+    def save(self, path):
+        self.calls.append(("save", path))
+
+    def finish(self):
+        self.calls.append(("finish", None))
+
+
+def test_wandb_branch_executes_with_fake_module(tmp_path, monkeypatch):
+    import sys
+
+    fake = _FakeWandb()
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    logger = RunLogger(
+        project="proj", run_name="r3", config={"lr": 1e-3},
+        log_dir=str(tmp_path), backend="wandb",
+    )
+    assert logger._wandb is fake
+    logger.log_train_step(
+        {"train_loss": 1.2, "learning_rate": 1e-4, "temperature": 0.09},
+        temperature_learnable=True,
+    )
+    logger.log_image("embedding_space", str(tmp_path / "img.png"))
+    logger.save_artifact(str(tmp_path / "model.npz"))
+    logger.finish()
+
+    kinds = [k for k, _ in fake.calls]
+    assert kinds[0] == "init" and kinds[-1] == "finish"
+    init_kw = fake.calls[0][1]
+    assert init_kw == {"project": "proj", "config": {"lr": 1e-3}, "name": "r3"}
+    # the per-step wandb.log payload carries the reference's typo'd
+    # learnable-temperature key (sparsify_clip.py:945)
+    step_logs = [m for k, m in fake.calls if k == "log" and "train_loss" in m]
+    assert step_logs and step_logs[0] == {
+        "train_loss": 1.2,
+        "constrantive_temperature_learnable": 0.09,
+        "learning_rate": 1e-4,
+    }
+    img_logs = [m for k, m in fake.calls if k == "log" and "embedding_space" in m]
+    assert img_logs and isinstance(img_logs[0]["embedding_space"], _FakeWandb.Image)
+    saves = [p for k, p in fake.calls if k == "save"]
+    assert saves == [str(tmp_path / "model.npz")]
+    # the JSONL stream is written in parallel regardless of backend
+    records = [json.loads(l) for l in open(logger.path)]
+    assert any(r.get("event") == "artifact" for r in records)
+
+
 def test_pca_sphere_plot(tmp_path):
     rng = np.random.default_rng(0)
     txt = rng.standard_normal((64, 16)).astype(np.float32)
