@@ -1,6 +1,12 @@
 """Backend selection for the fused loss kernels.
 
-Pallas kernels run compiled on TPU; off-TPU (and for
+Single device: the Pallas kernels (``ops/pallas_*``) — tiled, never
+materializing the N×N block in HBM.  Multi-device (dp > 1): the
+ring-chunked distributed formulations
+(:mod:`sparsify_clip_tpu.parallel.dist_losses`) inside a full-mesh
+shard_map — embeddings stay sharded over the data axis, chunks travel
+the ppermute ring, and no device ever holds the (N, D) gathered
+matrices or a replicated N² block.  Off-TPU (and for
 ``use_pallas=False``) these dispatchers fall back to the XLA twins in
 :mod:`sparsify_clip_tpu.losses`, which are the numerics goldens.  The
 Pallas *interpreter* path is exercised by the kernel tests
@@ -63,21 +69,34 @@ def _kernel_mesh():
     return am
 
 
-def _global_batch_kernel(kernel, arrays, scalars=()):
-    """Run a whole-batch loss kernel on a multi-device mesh.
+def _require_data_axis(am):
+    from sparsify_clip_tpu.parallel.mesh import DATA_AXIS
 
-    The B×B losses need every pair, so the multi-chip form is
-    gather-then-compute-replicated: constrain the embeddings to fully
-    replicated (ONE all-gather per tensor per step — issued in regular
-    SPMD space, so XLA CSEs it when several loss terms consume the same
-    embeddings), then run the kernel inside a full-mesh shard_map (all
-    axes manual — the only placement mosaic accepts) where each device
-    already holds the global batch.  The gather's transpose
-    reduce-scatters the embedding grads, so backward is exact.  NOTE
-    the kernel's B×B block itself is REPLICATED across the mesh (dp×
-    the loss FLOPs of the data-sharded XLA twins) — the loss block is
-    tiny next to the towers, but the fully-distributed alternative
-    lives in parallel/dist_losses.py (see docs/SCALING.md).
+    if DATA_AXIS not in am.axis_names:
+        raise ValueError(
+            "the fused losses need the training mesh's "
+            f"'{DATA_AXIS}' axis to lay out their ring / gather; "
+            f"got mesh axes {am.axis_names}.  Trace under the standard "
+            "('data', 'model') mesh (parallel/mesh.py) or pass "
+            "use_pallas=False for the XLA twins."
+        )
+    return DATA_AXIS
+
+
+def _global_batch_kernel(kernel, arrays, scalars=()):
+    """Run a whole-batch loss kernel replicated on a multi-device mesh.
+
+    FALLBACK path (dp == 1, or a global batch not divisible by dp — the
+    dp > 1 default is :func:`_ring_loss`): constrain the embeddings to
+    fully replicated (ONE all-gather per tensor per step — issued in
+    regular SPMD space, so XLA CSEs it when several loss terms consume
+    the same embeddings), then run the kernel inside a full-mesh
+    shard_map (all axes manual — the only placement mosaic accepts)
+    where each device already holds the global batch.  The gather's
+    transpose reduce-scatters the embedding grads, so backward is
+    exact.  With dp == 1 (the usual reason to be here) nothing is
+    actually gathered over the data axis and the only redundancy is the
+    standard loss replication across the model axis.
     """
     am = _kernel_mesh()
     if am is None:
@@ -85,16 +104,7 @@ def _global_batch_kernel(kernel, arrays, scalars=()):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from sparsify_clip_tpu.parallel.mesh import DATA_AXIS
-
-    if DATA_AXIS not in am.axis_names:
-        raise ValueError(
-            "the fused Pallas losses need the training mesh's "
-            f"'{DATA_AXIS}' axis to place their one replicating gather; "
-            f"got mesh axes {am.axis_names}.  Trace under the standard "
-            "('data', 'model') mesh (parallel/mesh.py) or pass "
-            "use_pallas=False for the XLA twins."
-        )
+    _require_data_axis(am)
 
     replicated = [
         jax.lax.with_sharding_constraint(a, NamedSharding(am, P()))
@@ -114,8 +124,70 @@ def _global_batch_kernel(kernel, arrays, scalars=()):
     )(replicated, list(scalars))
 
 
+def _ring_loss(ring_fn, arrays, scalars=()):
+    """Run a ring-chunked distributed loss on a multi-device mesh.
+
+    The dp > 1 form of the fused losses: embeddings stay sharded over
+    the data axis (in_specs P('data') — no (N, D) all-gather, no
+    replicated N² block) and the per-shard ring formulation from
+    :mod:`sparsify_clip_tpu.parallel.dist_losses` runs inside a
+    full-mesh shard_map.  Each device computes only its local-rows ×
+    visiting-chunk (b, b) blocks; softmax/pair statistics accumulate
+    online around the ppermute ring and the partial sums psum.  Across
+    the model axis the ring is replicated (standard loss replication
+    under TP); across the data axis nothing is.
+    """
+    am = _kernel_mesh()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_axis = _require_data_axis(am)
+
+    sharded = [
+        jax.lax.with_sharding_constraint(a, NamedSharding(am, P(data_axis)))
+        for a in arrays
+    ]
+
+    def worker(arrs, scls):
+        return ring_fn(*arrs, *scls)
+
+    # NOTE check_vma stays ON here (unlike _global_batch_kernel): the
+    # ring body is pure XLA, and vma tracking is what makes the
+    # transpose exact — with check_vma=False the untiled-output
+    # cotangent is scaled 1/dp and replicated-input cotangents are
+    # psum'd over the model axis, compounding to dp-wrong embedding
+    # grads (measured 1/4 on a 4x2 mesh).
+    return jax.shard_map(
+        worker,
+        mesh=am,
+        in_specs=(P(data_axis), P()),
+        out_specs=P(),
+    )(sharded, list(scalars))
+
+
+def _mesh_route(arrays):
+    """None (single device) | 'ring' (dp > 1, divisible) | 'replicate'."""
+    am = _kernel_mesh()
+    if am is None:
+        return None
+    from sparsify_clip_tpu.parallel.mesh import DATA_AXIS
+
+    dp = dict(am.shape).get(DATA_AXIS, 1)
+    if dp > 1 and all(a.shape[0] % dp == 0 for a in arrays):
+        return "ring"
+    return "replicate"
+
+
 def fused_lunif_loss(x: jnp.ndarray, t: float = 2.0, use_pallas: bool = True):
     if use_pallas and _pallas_route():
+        route = _mesh_route((x,))
+        if route == "ring":
+            from sparsify_clip_tpu.parallel.dist_losses import ring_lunif_loss
+
+            from sparsify_clip_tpu.parallel.mesh import DATA_AXIS
+
+            return _ring_loss(
+                lambda s: ring_lunif_loss(s, t, DATA_AXIS), (x,)
+            )
         from sparsify_clip_tpu.ops.pallas_lunif import lunif_loss_pallas
 
         return _global_batch_kernel(
@@ -128,6 +200,17 @@ def fused_infonce_loss(
     img: jnp.ndarray, txt: jnp.ndarray, temperature, use_pallas: bool = True
 ):
     if use_pallas and _pallas_route():
+        route = _mesh_route((img, txt))
+        if route == "ring":
+            from sparsify_clip_tpu.parallel.dist_losses import ring_infonce_loss
+
+            from sparsify_clip_tpu.parallel.mesh import DATA_AXIS
+
+            return _ring_loss(
+                lambda i, s, T: ring_infonce_loss(i, s, T, DATA_AXIS),
+                (img, txt),
+                (jnp.asarray(temperature, jnp.float32),),
+            )
         from sparsify_clip_tpu.ops.pallas_infonce import infonce_loss_pallas
 
         return _global_batch_kernel(

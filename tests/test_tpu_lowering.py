@@ -55,8 +55,10 @@ def test_full_train_step_exports_for_tpu_dp4xtp2(knob):
     (plain TP, FSDP param+moment sharding, ZeRO-1 moment sharding).
     This is the multi-chip TPU twin of the driver's CPU dryrun: it
     caught mosaic's refusal to auto-partition the loss kernels on ANY
-    multi-device mesh (fixed by ops.fused._global_batch_kernel's
-    full-mesh shard_map)."""
+    multi-device mesh.  With dp > 1 the fused losses now route to the
+    ring-chunked distributed formulations (ops.fused._ring_loss →
+    parallel/dist_losses), so the artifact must carry the ring's
+    collective-permutes and the mosaic kernels are attention-only."""
     cfg = ExperimentConfig.from_dict(dict(
         model="lw-tiny", batch_size=16, epochs=2, learning_rate=1e-3,
         loss_type="only_lunif_n_then_anchor+lalign+lunif(centroids)",
@@ -103,7 +105,10 @@ def test_full_train_step_exports_for_tpu_dp4xtp2(knob):
             )
     assert exp.platforms == ("tpu",)
     module = exp.mlir_module()
-    # the artifact must contain the mosaic kernels (attention fwd/bwd in
-    # both towers + InfoNCE + lunif), or the force flags silently
-    # stopped routing to the Pallas branches
-    assert module.count("tpu_custom_call") >= 5
+    # the artifact must contain the mosaic attention kernels (fwd/bwd in
+    # both towers), or the force flags silently stopped routing to the
+    # Pallas branches
+    assert module.count("tpu_custom_call") >= 4
+    # ... and the ring-chunked distributed losses (dp=4 > 1 routes the
+    # fused InfoNCE/lunif through ppermute rings, not gather-replicate)
+    assert "collective_permute" in module or "collective-permute" in module
