@@ -249,6 +249,16 @@ class ExperimentConfig:
     # the bias raw.  Paper inits: scale 10, bias -10.
     siglip_logit_scale_init: float = 10.0
     siglip_logit_bias_init: float = -10.0
+    # Host soft-target provider for loss_type "anchor-roberta": an
+    # import spec "module:attr" (or dotted "module.attr") resolving to
+    # a callable ``fn(captions: Sequence[str]) -> (B, B) array`` of
+    # row-stochastic text-similarity targets.  The reference derives
+    # these from a RoBERTa sentence encoder it conditionally loads
+    # (sparsify_clip.py:711-713, 135-157) but its dispatch branch is
+    # commented out; here the provider runs on host per batch and the
+    # matrix rides the batch dict onto the device ("" = none — direct
+    # callers may still supply batch["soft_targets"] themselves).
+    soft_targets_provider: str = ""
     # NaN debugging: jax_debug_nans inside jit (the reference has no
     # sanitizers; SURVEY.md §5).
     debug_nans: bool = False
@@ -266,6 +276,16 @@ class ExperimentConfig:
     plot_embeddings: bool = True
     # Steps per eval; -1 reproduces reference per-epoch cadence.
     eval_every_n_steps: int = -1
+    # Metric-read cadence.  1 (default) = reference parity: every step's
+    # scalars are float()-read and logged immediately — which fences the
+    # device and serializes dispatch (the reference's per-step wandb.log,
+    # sparsify_clip.py:944-951).  n > 1 buffers the device-side metric
+    # trees and reads them every n steps, so dispatch runs ahead and the
+    # one-step-lookahead prefetch overlaps fully; the JSONL/wandb stream
+    # still carries one record per step with identical keys (order and
+    # content unchanged — only the read timing batches).  NaNs surface
+    # at the next flush instead of the offending step.
+    log_every_n_steps: int = 1
     # Evaluate with fp32-compute towers (sharing the fp32 params), as
     # the reference does — its evaluate_model runs under no_grad with
     # no autocast (sparsify_clip.py:563-593) — even when training runs
@@ -352,6 +372,10 @@ class ExperimentConfig:
             raise ValueError(
                 f"batch_size {self.batch_size} not divisible by "
                 f"grad_accum_steps {self.grad_accum_steps}"
+            )
+        if self.log_every_n_steps < 1:
+            raise ValueError(
+                f"log_every_n_steps must be >= 1, got {self.log_every_n_steps}"
             )
         if self.adam_mu_dtype not in ("float32", "bfloat16"):
             raise ValueError(

@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from sparsify_clip_tpu.config import ExperimentConfig
@@ -590,6 +591,59 @@ def create_train_setup(
     )
 
 
+def resolve_soft_targets_provider(spec: str):
+    """``"module:attr"`` / ``"module.attr"`` → host soft-target callable.
+
+    The "anchor-roberta" loss (sparsify_clip.py:135-157) needs a
+    (B, B) row-stochastic text-similarity matrix the reference computes
+    on host from a RoBERTa sentence encoder (:711-713).  The provider
+    is user code (any callable taking the batch's caption strings and
+    returning the matrix); this resolves the config's import spec once
+    per run.  Returns None for the empty spec.
+    """
+    if not spec:
+        return None
+    import importlib
+
+    if ":" in spec:
+        mod_name, attr_path = spec.split(":", 1)
+    else:
+        mod_name, _, attr_path = spec.rpartition(".")
+    if not mod_name or not attr_path:
+        raise ValueError(
+            f"soft_targets_provider {spec!r} is not an import spec — "
+            "use 'package.module:callable'"
+        )
+    fn = importlib.import_module(mod_name)
+    for part in attr_path.split("."):
+        fn = getattr(fn, part)
+    if not callable(fn):
+        raise TypeError(
+            f"soft_targets_provider {spec!r} resolved to non-callable {fn!r}"
+        )
+    return fn
+
+
+def _apply_soft_targets(batch, fields, soft_fn):
+    """Host-side soft-target computation for one batch (if configured)."""
+    if soft_fn is None:
+        return fields
+    captions = batch.get("captions")
+    if captions is None:
+        raise ValueError(
+            "soft_targets_provider is configured but the loader batch "
+            "carries no 'captions' — use a caption-bearing dataset/loader"
+        )
+    st = np.asarray(soft_fn(captions), dtype=np.float32)
+    b = len(captions)
+    if st.shape != (b, b):
+        raise ValueError(
+            f"soft_targets_provider returned shape {st.shape}, "
+            f"expected ({b}, {b}) for this batch"
+        )
+    return {**fields, "soft_targets": st}
+
+
 def run_training(
     setup: TrainSetup,
     train_batches: Callable[[int], Iterator[Dict[str, Any]]],
@@ -633,6 +687,8 @@ def run_training(
     if eval_fn is not None:
         eval_fn(state)  # pre-training eval (sparsify_clip.py:740)
 
+    soft_fn = resolve_soft_targets_provider(config.soft_targets_provider)
+
     def device_batches(epoch: int, skip: int = 0):
         """One-step-lookahead device prefetch: the next batch's
         host→device transfer (jax.device_put is async) overlaps the
@@ -651,9 +707,11 @@ def run_training(
             # make_global_batch degrades to a plain sharded device_put
             # single-process; under multihost each process contributes
             # its local slice of the global batch (parallel/multihost).
-            nxt = make_global_batch(
-                {"images": batch["images"], "tokens": batch["tokens"]}, setup.mesh
+            fields = _apply_soft_targets(
+                batch, {"images": batch["images"], "tokens": batch["tokens"]},
+                soft_fn,
             )
+            nxt = make_global_batch(fields, setup.mesh)
             if pending is not None:
                 yield pending
             pending = nxt
@@ -664,6 +722,16 @@ def run_training(
     t0 = time.time()
     stopped = False
     setup.stopped_early = False
+    log_every = max(1, config.log_every_n_steps)
+    pending_metrics: list = []
+
+    def flush_metrics():
+        # one device→host read per buffered step; the log stream keeps
+        # its per-step records and schema regardless of the cadence
+        for m in pending_metrics:
+            log_fn({k: float(v) for k, v in m.items()})
+        pending_metrics.clear()
+
     last_epoch = (start_epoch + config.epochs) if end_epoch is None else end_epoch
     for epoch in range(start_epoch, last_epoch):
         meter.start()
@@ -672,8 +740,17 @@ def run_training(
         ):
             state, metrics = setup.train_step(state, batch)
             if log_fn is not None:
-                # float() reads fence the step — honest pacing + NaNs surface here
-                log_fn({k: float(v) for k, v in metrics.items()})
+                if log_every == 1:
+                    # float() reads fence the step — honest pacing +
+                    # NaNs surface here (reference parity default)
+                    log_fn({k: float(v) for k, v in metrics.items()})
+                else:
+                    # log_every_n_steps > 1: buffer the device-side
+                    # scalars so dispatch runs ahead of the reads and
+                    # the lookahead prefetch overlaps fully
+                    pending_metrics.append(metrics)
+                    if len(pending_metrics) >= log_every:
+                        flush_metrics()
             meter.step(config.batch_size)
             if stop_fn is not None and stop_fn():
                 stopped = True
@@ -685,7 +762,11 @@ def run_training(
                 and config.eval_every_n_steps > 0
                 and int(state.step) % config.eval_every_n_steps == 0
             ):
+                if log_fn is not None:
+                    flush_metrics()  # keep step records ahead of eval's
                 eval_fn(state)
+        if log_fn is not None:
+            flush_metrics()  # epoch boundary / preemption: drain the buffer
         if stopped:
             setup.stopped_early = True
             if checkpoint_fn is not None:

@@ -93,6 +93,44 @@ def test_fixed_temperature_stays():
     assert float(state.temperature) == pytest.approx(0.1)
 
 
+def test_log_every_n_steps_same_records_as_per_step():
+    """log_every_n_steps batches the device→host metric READS only: the
+    logged stream (count, order, keys, values) must be identical to the
+    reference-parity per-step cadence (VERDICT r4 #4)."""
+    from sparsify_clip_tpu.train import run_training
+
+    def batches(epoch):
+        rng = np.random.default_rng(50 + epoch)
+        for _ in range(5):
+            tokens = rng.integers(1, 250, size=(16, TINY.context_length)).astype(np.int32)
+            tokens[:, 0] = TINY.vocab_size - 2
+            tokens[:, -1] = TINY.vocab_size - 1
+            yield {
+                "images": rng.standard_normal((16, 32, 32, 3)).astype(np.float32),
+                "tokens": tokens,
+            }
+
+    def run(n):
+        cfg = _config(epochs=1, log_every_n_steps=n)
+        setup = create_train_setup(cfg, steps_per_epoch=5, image_size=32)
+        records = []
+        run_training(setup, batches, log_fn=records.append)
+        return [r for r in records if "train_loss" in r]
+
+    per_step = run(1)
+    buffered = run(3)  # 5 steps: one flush at 3, remainder at epoch end
+    assert len(per_step) == len(buffered) == 5
+    for a, b in zip(per_step, buffered):
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-6), k
+
+
+def test_log_every_n_steps_validation():
+    with pytest.raises(ValueError, match="log_every_n_steps"):
+        _config(log_every_n_steps=0)
+
+
 def test_warm_phase_crossing_no_recompile():
     """exp-6 style: epoch 0 is lunif-only; the switch into the full loss
     happens inside one compiled step (lax.cond on the traced epoch)."""
@@ -188,6 +226,63 @@ def test_anchor_roberta_train_step():
     state, metrics = setup.train_step(setup.state, batch)
     assert np.isfinite(float(metrics["train_loss"]))
     assert int(state.step) == 1
+
+
+def test_anchor_roberta_e2e_with_provider():
+    """VERDICT r4 #6: loss_type 'anchor-roberta' runs END TO END when a
+    soft_targets_provider is configured — the stub sentence encoder
+    (tests/_stub_roberta.py) computes the (B, B) row-stochastic matrix
+    on host per batch, run_training ships it with the device batch, and
+    the loss consumes it (reference sparsify_clip.py:711-713, 135-157)."""
+    from sparsify_clip_tpu.train import run_training
+
+    cfg = _config(
+        loss_type="anchor-roberta", epochs=1,
+        soft_targets_provider="_stub_roberta:soft_targets",
+    )
+    setup = create_train_setup(cfg, steps_per_epoch=3, image_size=32)
+
+    def batches(epoch):
+        rng = np.random.default_rng(9)
+        for i in range(3):
+            tokens = rng.integers(1, 250, size=(16, TINY.context_length)).astype(np.int32)
+            tokens[:, 0] = TINY.vocab_size - 2
+            tokens[:, -1] = TINY.vocab_size - 1
+            yield {
+                "images": rng.standard_normal((16, 32, 32, 3)).astype(np.float32),
+                "tokens": tokens,
+                "captions": [f"caption {i}-{j}" for j in range(16)],
+            }
+
+    records = []
+    state = run_training(setup, batches, log_fn=records.append)
+    assert int(state.step) == 3
+    losses = [r["train_loss"] for r in records if "train_loss" in r]
+    assert len(losses) == 3 and np.isfinite(losses).all()
+
+
+def test_soft_targets_provider_resolution_and_validation():
+    from sparsify_clip_tpu.train import (
+        _apply_soft_targets,
+        resolve_soft_targets_provider,
+    )
+
+    fn = resolve_soft_targets_provider("_stub_roberta:soft_targets")
+    st = fn(["a", "b"])
+    assert st.shape == (2, 2)
+    np.testing.assert_allclose(st.sum(axis=1), 1.0, rtol=1e-6)
+    # dotted form resolves too
+    assert resolve_soft_targets_provider("_stub_roberta.soft_targets") is fn
+    assert resolve_soft_targets_provider("") is None
+    with pytest.raises(ValueError, match="import spec"):
+        resolve_soft_targets_provider("justamodule")
+    with pytest.raises(ValueError, match="expected \\(2, 2\\)"):
+        _apply_soft_targets(
+            {"captions": ["a", "b"]}, {},
+            resolve_soft_targets_provider("_stub_roberta:bad_shape"),
+        )
+    with pytest.raises(ValueError, match="no 'captions'"):
+        _apply_soft_targets({}, {}, fn)
 
 
 def test_grad_accum_matches_full_batch():
