@@ -130,6 +130,15 @@ class ExperimentConfig:
     # bs256 (1,711 vs 1,719 pairs/s; BASELINE.md "Round-4
     # measurements") — kept as a documented knob, off by default.
     stem_s2d: bool = False
+    # Fuse each transformer block's ln_1 into its qkv projection on TPU
+    # (ops/pallas_ln_qkv): the normalized activation stays in VMEM
+    # instead of round-tripping HBM per block.  Forward-only fusion —
+    # backward numerics are exactly the unfused path's.  Measured A/B in
+    # BASELINE.md.
+    fused_ln_qkv: bool = False
+    # Text-tower token-embedding lookup as a one-hot matmul instead of
+    # gather/scatter-add (measured A/B in BASELINE.md).
+    onehot_embed: bool = False
     # fp32 LayerNorm statistics in the towers (quality default; bf16
     # measured no faster on v5e — knob retained for experimentation).
     ln_fp32: bool = True

@@ -159,6 +159,11 @@ class CLIP(nn.Module):
     # fp32 LayerNorm statistics (quality default; bf16 measured no
     # faster on v5e — knob retained for experimentation).
     ln_fp32: bool = True
+    # Fuse each transformer block's ln_1 into its qkv projection on TPU
+    # (ops/pallas_ln_qkv; forward-only fusion, same param tree).
+    fused_ln_qkv: bool = False
+    # Token-embedding lookup as a one-hot matmul (text tower A/B knob).
+    onehot_embed: bool = False
     # lax.scan over transformer layers (ViT + text towers): one
     # compiled block body regardless of depth — the compile-time lever
     # for ViT-H/g/bigG.  Changes the param tree (stacked layer axis);
@@ -207,6 +212,7 @@ class CLIP(nn.Module):
                 remat=self.remat,
                 remat_policy=self.remat_policy,
                 ln_fp32=self.ln_fp32,
+                fused_ln_qkv=self.fused_ln_qkv,
                 scan_layers=self.scan_layers,
                 pipeline_stages=self.pipeline_stages,
                 pipeline_microbatches=self.pipeline_microbatches,
@@ -227,6 +233,8 @@ class CLIP(nn.Module):
             remat=self.remat,
             remat_policy=self.remat_policy,
             ln_fp32=self.ln_fp32,
+            fused_ln_qkv=self.fused_ln_qkv,
+            onehot_embed=self.onehot_embed,
             scan_layers=self.scan_layers,
             pipeline_stages=self.pipeline_stages,
             pipeline_microbatches=self.pipeline_microbatches,
@@ -256,6 +264,8 @@ def create_model(
     remat_policy: Any = None,
     stem_s2d: bool = False,
     ln_fp32: bool = True,
+    fused_ln_qkv: bool = False,
+    onehot_embed: bool = False,
     scan_layers: bool = False,
     pipeline_stages: int = 1,
     pipeline_microbatches: Optional[int] = None,
@@ -273,7 +283,8 @@ def create_model(
     if image_size is not None:
         cfg = dataclasses.replace(cfg, image_size=image_size)
     model = CLIP(cfg=cfg, dtype=dtype, remat=remat, remat_policy=remat_policy,
-                 stem_s2d=stem_s2d, ln_fp32=ln_fp32, scan_layers=scan_layers,
+                 stem_s2d=stem_s2d, ln_fp32=ln_fp32, fused_ln_qkv=fused_ln_qkv,
+                 onehot_embed=onehot_embed, scan_layers=scan_layers,
                  pipeline_stages=pipeline_stages,
                  pipeline_microbatches=pipeline_microbatches,
                  pipeline_mesh=pipeline_mesh)

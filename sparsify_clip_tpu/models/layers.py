@@ -127,15 +127,21 @@ class MultiHeadAttention(nn.Module):
     fused: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: Optional[jnp.ndarray] = None, qkv: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """Either ``x`` (the in_proj Dense runs here) or a precomputed
+        ``qkv`` (the block's fused LN+qkv kernel already produced it —
+        apply mode only; the in_proj params were created at init)."""
         from sparsify_clip_tpu.ops.pallas_attention import attention_core
 
-        qkv = nn.Dense(
-            3 * self.width,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.normal(self.width ** -0.5),
-            name="in_proj",
-        )(x)
+        if qkv is None:
+            qkv = nn.Dense(
+                3 * self.width,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.normal(self.width ** -0.5),
+                name="in_proj",
+            )(x)
         out = attention_core(
             qkv, self.heads, causal=self.causal, use_pallas=self.fused
         ).astype(self.dtype)
@@ -183,13 +189,32 @@ class ResidualAttentionBlock(nn.Module):
     act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
     causal: bool = False
     ln_fp32: bool = True
+    # Fuse ln_1 into the qkv projection (ops/pallas_ln_qkv): the
+    # normalized activation never round-trips HBM.  Forward-only fusion
+    # (backward = the unfused path's exact grads); requires fp32 LN and
+    # takes effect in apply mode only — init always runs the unfused
+    # path so the param tree is identical either way.  A/B measured in
+    # BASELINE.md (VERDICT r4 #3a).
+    fused_ln_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        attn = MultiHeadAttention(
+        mha = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, causal=self.causal,
             name="attn",
-        )(LayerNorm(fp32=self.ln_fp32, name="ln_1")(x))
+        )
+        if self.fused_ln_qkv and self.ln_fp32 and not self.is_initializing():
+            from sparsify_clip_tpu.ops.pallas_ln_qkv import ln_qkv_core
+
+            ln_p = self.scope.get_variable("params", "ln_1")["ln"]
+            proj = self.scope.get_variable("params", "attn")["in_proj"]
+            qkv = ln_qkv_core(
+                x, ln_p["scale"], ln_p["bias"], proj["kernel"], proj["bias"],
+                epsilon=1e-5, dtype=self.dtype,
+            )
+            attn = mha(qkv=qkv)
+        else:
+            attn = mha(LayerNorm(fp32=self.ln_fp32, name="ln_1")(x))
         # identity tag for the "attn_out" selective-remat policy
         # (resolve_remat_policy); free outside remat
         x = x + checkpoint_name(attn, "attn_out")
@@ -211,13 +236,15 @@ class _ScanBlock(nn.Module):
     act: Callable[[jnp.ndarray], jnp.ndarray] = gelu_exact
     causal: bool = False
     ln_fp32: bool = True
+    fused_ln_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _) -> tuple:
         y = ResidualAttentionBlock(
             self.width, self.heads, mlp_hidden=self.mlp_hidden,
             dtype=self.dtype, act=self.act, causal=self.causal,
-            ln_fp32=self.ln_fp32, name="block",
+            ln_fp32=self.ln_fp32, fused_ln_qkv=self.fused_ln_qkv,
+            name="block",
         )(x)
         return y, None
 
@@ -232,6 +259,9 @@ class Transformer(nn.Module):
     # Causal (autoregressive) attention — the text tower's mask.
     causal: bool = False
     ln_fp32: bool = True
+    # Fuse each block's ln_1 into its qkv projection on TPU
+    # (ops/pallas_ln_qkv; forward-only fusion, identical param tree).
+    fused_ln_qkv: bool = False
     # Rematerialize each block in the backward pass (memory for
     # recompute).  With the fused attention kernel, ViT-B/32 trains at
     # 1024/chip on 16G HBM without this; enable for larger batches.
@@ -283,7 +313,8 @@ class Transformer(nn.Module):
             x, _ = scan(
                 self.width, self.heads, mlp_hidden=self.mlp_hidden,
                 dtype=self.dtype, act=self.act, causal=self.causal,
-                ln_fp32=self.ln_fp32, name="layers_scan",
+                ln_fp32=self.ln_fp32, fused_ln_qkv=self.fused_ln_qkv,
+                name="layers_scan",
             )(x, None)
             return x
 
@@ -299,7 +330,8 @@ class Transformer(nn.Module):
             x = block_cls(
                 self.width, self.heads, mlp_hidden=self.mlp_hidden,
                 dtype=self.dtype, act=self.act,
-                causal=self.causal, ln_fp32=self.ln_fp32, name=f"resblock_{i}",
+                causal=self.causal, ln_fp32=self.ln_fp32,
+                fused_ln_qkv=self.fused_ln_qkv, name=f"resblock_{i}",
             )(x)
         return x
 

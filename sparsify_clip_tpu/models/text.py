@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sparsify_clip_tpu.models.layers import LayerNorm, Transformer, gelu_exact
@@ -32,6 +33,14 @@ class TextTransformer(nn.Module):
     remat: bool = False
     remat_policy: Any = None
     ln_fp32: bool = True
+    # Fuse each block's ln_1 into its qkv projection on TPU
+    # (ops/pallas_ln_qkv).
+    fused_ln_qkv: bool = False
+    # Token-embedding lookup as a one-hot matmul instead of a gather
+    # (BASELINE.md A/B, VERDICT r4 #3b): forward becomes a
+    # (B·L, V)×(V, W) matmul on the MXU and the backward a dense
+    # transpose matmul instead of a scatter-add into the (V, W) table.
+    onehot_embed: bool = False
     scan_layers: bool = False
     # GPipe stages over the mesh 'model' axis (parallel/pipeline.py).
     pipeline_stages: int = 1
@@ -54,13 +63,22 @@ class TextTransformer(nn.Module):
             (self.context_length, self.width),
             jnp.float32,
         )
-        x = token_embedding[tokens].astype(self.dtype)
+        if self.onehot_embed:
+            onehot = jax.nn.one_hot(
+                tokens.reshape(-1), self.vocab_size, dtype=self.dtype
+            )
+            x = jnp.dot(
+                onehot, token_embedding.astype(self.dtype)
+            ).reshape(b, l, self.width)
+        else:
+            x = token_embedding[tokens].astype(self.dtype)
         x = x + positional_embedding[:l].astype(self.dtype)
         x = Transformer(
             self.width, self.layers, self.heads, mlp_hidden=self.mlp_hidden,
             dtype=self.dtype, act=self.act,
             causal=True, remat=self.remat, remat_policy=self.remat_policy,
-            ln_fp32=self.ln_fp32, scan_layers=self.scan_layers,
+            ln_fp32=self.ln_fp32, fused_ln_qkv=self.fused_ln_qkv,
+            scan_layers=self.scan_layers,
             pipeline_stages=self.pipeline_stages,
             pipeline_microbatches=self.pipeline_microbatches,
             pipeline_mesh=self.pipeline_mesh,

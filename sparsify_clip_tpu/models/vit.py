@@ -32,6 +32,9 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     remat_policy: Any = None
     ln_fp32: bool = True
+    # Fuse each block's ln_1 into its qkv projection on TPU
+    # (ops/pallas_ln_qkv).
+    fused_ln_qkv: bool = False
     scan_layers: bool = False
     # GPipe stages over the mesh 'model' axis (parallel/pipeline.py).
     pipeline_stages: int = 1
@@ -76,7 +79,8 @@ class VisionTransformer(nn.Module):
             self.width, self.layers, self.heads, mlp_hidden=self.mlp_hidden,
             dtype=self.dtype, act=self.act,
             remat=self.remat, remat_policy=self.remat_policy,
-            ln_fp32=self.ln_fp32, scan_layers=self.scan_layers,
+            ln_fp32=self.ln_fp32, fused_ln_qkv=self.fused_ln_qkv,
+            scan_layers=self.scan_layers,
             pipeline_stages=self.pipeline_stages,
             pipeline_microbatches=self.pipeline_microbatches,
             pipeline_mesh=self.pipeline_mesh,

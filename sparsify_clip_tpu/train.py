@@ -526,6 +526,7 @@ def create_train_setup(
         config.model, dtype=dtype, rng=init_rng, image_size=image_size,
         remat=config.remat, remat_policy=config.remat_policy,
         stem_s2d=config.stem_s2d, ln_fp32=config.ln_fp32,
+        fused_ln_qkv=config.fused_ln_qkv, onehot_embed=config.onehot_embed,
         scan_layers=config.scan_layers,
         pipeline_stages=pipeline_stages,
         pipeline_microbatches=config.pipeline_microbatches,
