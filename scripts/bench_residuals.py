@@ -64,9 +64,9 @@ def timed_steps(setup, batch_d, steps: int, read_every: int = 1):
     return dt
 
 
-def bench_variant(batch: int, steps: int, **cfg_overrides):
+def bench_variant(batch: int, steps: int, read_every: int = 1, **cfg_overrides):
     setup, batch_d = build_setup(batch, **cfg_overrides)
-    dt = timed_steps(setup, batch_d, steps)
+    dt = timed_steps(setup, batch_d, steps, read_every=read_every)
     return {"step_ms": round(dt * 1e3, 2), "pairs_per_sec": round(batch / dt, 1)}
 
 
@@ -88,6 +88,12 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--skip", nargs="*", default=[],
                     help="variant names to skip")
+    ap.add_argument("--read-every", type=int, default=1,
+                    help="metric-read cadence inside the timed loop; the "
+                         "default per-step read adds a full tunnel RTT to "
+                         "every step on this host (the log_every variant "
+                         "measures that directly) — pass 10 for clean "
+                         "device-side A/B deltas")
     args = ap.parse_args()
 
     import jax
@@ -100,11 +106,13 @@ def main():
         out[name] = fn()
         print(json.dumps({name: out[name]}), flush=True)
 
-    run("base", lambda: bench_variant(args.batch, args.steps))
+    re_ = args.read_every
+    run("base", lambda: bench_variant(args.batch, args.steps, re_))
+    run("base_repeat", lambda: bench_variant(args.batch, args.steps, re_))
     run("fused_ln_qkv", lambda: bench_variant(
-        args.batch, args.steps, fused_ln_qkv=True))
+        args.batch, args.steps, re_, fused_ln_qkv=True))
     run("onehot_embed", lambda: bench_variant(
-        args.batch, args.steps, onehot_embed=True))
+        args.batch, args.steps, re_, onehot_embed=True))
 
     def no_l2norm():
         import jax.numpy as jnp
@@ -115,7 +123,7 @@ def main():
         # identity with the same dtype contract as the real normalize
         train_mod.l2_normalize = lambda x: x.astype(jnp.float32)
         try:
-            return bench_variant(args.batch, args.steps)
+            return bench_variant(args.batch, args.steps, re_)
         finally:
             train_mod.l2_normalize = orig
 

@@ -32,17 +32,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sparsify_clip_tpu.ops._overrides import flag_override
 
-TM = 256   # row tile (B·L rows)
-TN_MAX = 1536  # column tile cap keeps W×TN weight tiles inside VMEM
+TM = 512   # row tile (B·L rows) — large enough to fill the MXU pipeline
+_WEIGHT_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the (W, TN) weight tile
 
 
-def _pick_tn(w3: int) -> int:
-    if w3 <= TN_MAX:
-        return w3
-    tn = TN_MAX
-    while w3 % tn:
+def _pick_tiles(n_rows: int, w: int, w3: int, itemsize: int):
+    """(tm, tn): prefer the FULL weight width resident in VMEM (one
+    column tile → each x row tile is fetched once and the per-program
+    matmul is tm×w×w3, a shape the MXU pipelines well); halve tn only
+    when the weight tile exceeds the VMEM budget (ViT-g/bigG widths)."""
+    tn = w3
+    while w * tn * itemsize > _WEIGHT_VMEM_BUDGET and tn % 2 == 0:
         tn //= 2
-    return max(tn, 128)
+    tm = TM if n_rows >= TM else 256
+    return tm, max(tn, 128)
 
 
 def _fwd_kernel(x_ref, scale_ref, bias_ref, k_ref, kb_ref, out_ref,
@@ -70,25 +73,25 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, k_ref, kb_ref, out_ref,
 def _run_fwd(x2d, scale, bias, kernel, kbias, epsilon, dtype):
     n, w = x2d.shape
     w3 = kernel.shape[1]
-    rem = (-n) % TM
+    tm, tn = _pick_tiles(n, w, w3, jnp.dtype(dtype).itemsize)
+    rem = (-n) % tm
     xp = jnp.pad(x2d, ((0, rem), (0, 0))) if rem else x2d
     npad = xp.shape[0]
-    tn = _pick_tn(w3)
-    grid = (npad // TM, w3 // tn)
+    grid = (npad // tm, w3 // tn)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, epsilon=epsilon),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, tn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad, w3), dtype),
-        scratch_shapes=[pltpu.VMEM((TM, w), dtype)],
+        scratch_shapes=[pltpu.VMEM((tm, w), dtype)],
     )(
         xp,
         scale.reshape(1, w),
