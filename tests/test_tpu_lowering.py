@@ -47,12 +47,14 @@ MODEL_REGISTRY.setdefault(
 )
 
 
-@pytest.mark.parametrize("knob", ["tp", "fsdp", "zero1"])
+@pytest.mark.parametrize("knob", ["tp", "fsdp", "zero1", "accum"])
 def test_full_train_step_exports_for_tpu_dp4xtp2(knob):
     """The COMPLETE exp6 train step — Pallas attention, Pallas
     InfoNCE + lunif kernels, warm-phase cond, AdamW — must lower for
     platform 'tpu' on a dp4×tp2 AbstractMesh, under each scaling knob
-    (plain TP, FSDP param+moment sharding, ZeRO-1 moment sharding).
+    (plain TP, FSDP param+moment sharding, ZeRO-1 moment sharding,
+    GradCache two-pass accumulation — whose embedding-cotangent second
+    pass differentiates through the ring custom-VJPs).
     This is the multi-chip TPU twin of the driver's CPU dryrun: it
     caught mosaic's refusal to auto-partition the loss kernels on ANY
     multi-device mesh.  With dp > 1 the fused losses now route to the
@@ -65,6 +67,7 @@ def test_full_train_step_exports_for_tpu_dp4xtp2(knob):
         only_lunif_epochs=1, fp16=True, seed=0, use_pallas=True,
         mesh_data=4, mesh_model=2,
         fsdp=(knob == "fsdp"), shard_opt_state=(knob == "zero1"),
+        grad_accum_steps=(2 if knob == "accum" else 1),
     ))
 
     # authoritative state SHAPES from a cheap concrete 1-device setup
