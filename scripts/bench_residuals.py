@@ -35,14 +35,16 @@ import time
 from _bench import exp6_config, synthetic_batch, wait_for_backend  # noqa: E402
 
 
-def build_setup(batch: int, **cfg_overrides):
+def build_setup(batch: int, model: str = "ViT-B-32", **cfg_overrides):
+    from sparsify_clip_tpu.models.clip import MODEL_REGISTRY
     from sparsify_clip_tpu.parallel.mesh import create_mesh, shard_batch
     from sparsify_clip_tpu.train import create_train_setup
 
-    config = exp6_config("ViT-B-32", batch, epochs=1, **cfg_overrides)
+    config = exp6_config(model, batch, epochs=1, **cfg_overrides)
     mesh = create_mesh(data=1, model=1)
     setup = create_train_setup(config, steps_per_epoch=462, mesh=mesh)
-    batch_d = shard_batch(synthetic_batch(batch, 224), mesh)
+    image_size = MODEL_REGISTRY[model].image_size
+    batch_d = shard_batch(synthetic_batch(batch, image_size), mesh)
     return setup, batch_d
 
 
@@ -64,8 +66,9 @@ def timed_steps(setup, batch_d, steps: int, read_every: int = 1):
     return dt
 
 
-def bench_variant(batch: int, steps: int, read_every: int = 1, **cfg_overrides):
-    setup, batch_d = build_setup(batch, **cfg_overrides)
+def bench_variant(batch: int, steps: int, read_every: int = 1,
+                  model: str = "ViT-B-32", **cfg_overrides):
+    setup, batch_d = build_setup(batch, model, **cfg_overrides)
     dt = timed_steps(setup, batch_d, steps, read_every=read_every)
     return {"step_ms": round(dt * 1e3, 2), "pairs_per_sec": round(batch / dt, 1)}
 
@@ -85,6 +88,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--model", default="ViT-B-32")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--skip", nargs="*", default=[],
                     help="variant names to skip")
@@ -98,7 +102,8 @@ def main():
 
     import jax
 
-    out = {"batch": args.batch, "backend": jax.default_backend()}
+    out = {"batch": args.batch, "model": args.model,
+           "backend": jax.default_backend()}
 
     def run(name, fn):
         if name in args.skip:
@@ -107,12 +112,13 @@ def main():
         print(json.dumps({name: out[name]}), flush=True)
 
     re_ = args.read_every
-    run("base", lambda: bench_variant(args.batch, args.steps, re_))
-    run("base_repeat", lambda: bench_variant(args.batch, args.steps, re_))
+    m = args.model
+    run("base", lambda: bench_variant(args.batch, args.steps, re_, m))
+    run("base_repeat", lambda: bench_variant(args.batch, args.steps, re_, m))
     run("fused_ln_qkv", lambda: bench_variant(
-        args.batch, args.steps, re_, fused_ln_qkv=True))
+        args.batch, args.steps, re_, m, fused_ln_qkv=True))
     run("onehot_embed", lambda: bench_variant(
-        args.batch, args.steps, re_, onehot_embed=True))
+        args.batch, args.steps, re_, m, onehot_embed=True))
 
     def no_l2norm():
         import jax.numpy as jnp
@@ -123,7 +129,7 @@ def main():
         # identity with the same dtype contract as the real normalize
         train_mod.l2_normalize = lambda x: x.astype(jnp.float32)
         try:
-            return bench_variant(args.batch, args.steps, re_)
+            return bench_variant(args.batch, args.steps, re_, m)
         finally:
             train_mod.l2_normalize = orig
 

@@ -33,7 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 from sparsify_clip_tpu.ops._overrides import flag_override
 
 TM = 512   # row tile (B·L rows) — large enough to fill the MXU pipeline
-_WEIGHT_VMEM_BUDGET = 8 * 1024 * 1024  # bytes for the (W, TN) weight tile
+# bytes for the (W, TN) weight tile: pallas double-buffers input tiles,
+# so the effective VMEM cost is ~2× this plus the x/scratch/out tiles —
+# 4MB keeps W=1024 towers inside the 16MB scoped limit (W=768 still
+# gets the full 3W width resident)
+_WEIGHT_VMEM_BUDGET = 4 * 1024 * 1024
 
 
 def _pick_tiles(n_rows: int, w: int, w3: int, itemsize: int):
