@@ -217,7 +217,10 @@ def main(config: ExperimentConfig, image_size: Optional[int] = None) -> Dict[str
 
     def log_fn(metrics):
         if "train_loss" in metrics:
-            logger.log_train_step(metrics, config.anchor_temperature_learnable)
+            logger.log_train_step(
+                metrics, config.anchor_temperature_learnable,
+                include_components=config.log_loss_components,
+            )
         else:
             logger.log(metrics)
 

@@ -295,6 +295,10 @@ class ExperimentConfig:
     # content unchanged — only the read timing batches).  NaNs surface
     # at the next flush instead of the offending step.
     log_every_n_steps: int = 1
+    # Add the per-term anchor/lalign/lunif scalars to each step's log
+    # record (the reference computes but never logs them; OFF keeps the
+    # reference's exact wandb/JSONL schema).
+    log_loss_components: bool = False
     # Evaluate with fp32-compute towers (sharing the fp32 params), as
     # the reference does — its evaluate_model runs under no_grad with
     # no autocast (sparsify_clip.py:563-593) — even when training runs

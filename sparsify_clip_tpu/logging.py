@@ -61,10 +61,14 @@ class RunLogger:
         self,
         metrics: Dict[str, float],
         temperature_learnable: bool,
+        include_components: bool = False,
     ) -> None:
         """Per-step schema parity (sparsify_clip.py:943-951): learnable
         runs log the temperature under the reference's typo'd key;
-        fixed-temperature runs log beta/alpha."""
+        fixed-temperature runs log beta/alpha.  ``include_components``
+        (config ``log_loss_components``, OFF for reference parity) adds
+        the per-term anchor/lalign/lunif scalars the reference computes
+        but never logs."""
         if temperature_learnable:
             record = {
                 "train_loss": metrics["train_loss"],
@@ -84,6 +88,10 @@ class RunLogger:
         for key in ("siglip_scale", "siglip_bias"):
             if key in metrics:
                 record[key] = metrics[key]
+        if include_components:
+            for key in ("anchor", "lalign", "lunif"):
+                if key in metrics:
+                    record[key] = metrics[key]
         self.log(record)
 
     def log_image(self, key: str, path: str) -> None:
@@ -120,7 +128,10 @@ class NullLogger:
     def log(self, metrics: Dict[str, Any]) -> None:
         pass
 
-    def log_train_step(self, metrics: Dict[str, float], temperature_learnable: bool) -> None:
+    def log_train_step(
+        self, metrics: Dict[str, float], temperature_learnable: bool,
+        include_components: bool = False,
+    ) -> None:
         pass
 
     def log_image(self, key: str, path: str) -> None:

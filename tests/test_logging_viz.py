@@ -42,6 +42,24 @@ def test_jsonl_records_and_schema(tmp_path):
     assert learnable["constrantive_temperature_learnable"] == 0.09
 
 
+def test_log_loss_components_opt_in(tmp_path):
+    """log_loss_components adds anchor/lalign/lunif to the record; OFF
+    keeps the reference's exact schema (no component keys)."""
+    logger = RunLogger(
+        project="p", run_name="rc", log_dir=str(tmp_path), backend="jsonl",
+    )
+    step = {"train_loss": 2.0, "learning_rate": 1e-4, "beta": 0.5,
+            "alpha": 1.0, "temperature": 0.1,
+            "anchor": 1.5, "lalign": 0.3, "lunif": -0.8}
+    logger.log_train_step(step, temperature_learnable=False)
+    logger.log_train_step(step, temperature_learnable=False,
+                          include_components=True)
+    logger.finish()
+    records = [json.loads(l) for l in open(logger.path) if "train_loss" in l]
+    assert "anchor" not in records[0]  # reference schema by default
+    assert records[1]["anchor"] == 1.5 and records[1]["lunif"] == -0.8
+
+
 def test_wandb_backend_falls_back(tmp_path):
     # wandb is not installed here; "auto" must degrade to JSONL silently
     logger = RunLogger(project="p", run_name="r2", log_dir=str(tmp_path), backend="auto")
